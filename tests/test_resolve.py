@@ -1,0 +1,104 @@
+"""LWW resolver unit tests ≙ reference tailer/query_generator tests
+(mongoreplay/query_generator_test.go:11-32, tailer_test.go:17-54)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+from go_cdc_spark import schemas
+from go_cdc_spark.genlog import LogSpec, events_df
+from go_cdc_spark.operators.merge import merge_resolved
+from go_cdc_spark.operators.resolve import apply_filters, from_token, lww_resolve
+from go_cdc_spark.oracle import replay_oracle
+
+KEYS = schemas.KEY_COLS
+ORDER = schemas.ORDER_COLS
+PAYLOAD = schemas.PAYLOAD_COLS
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, schema=schemas.EVENT_SCHEMA)
+
+
+def _row(op, seq, key=("r1", "p1", "c1"), lang="py", content="x"):
+    repo, path, commit = key
+    if op == "d":
+        lang = content = None
+    return (op, 1_700_000_000 + seq // 10, seq % 10, seq, repo, path, commit, lang, content)
+
+
+def test_insert_then_update_wins_update(spark):
+    # ≙ query_generator_test.go: apply i then u on same key
+    df = _mk(spark, [_row("i", 1, content="v1"), _row("u", 2, content="v2")])
+    out = lww_resolve(df, KEYS, ORDER, PAYLOAD).collect()
+    assert len(out) == 1
+    assert out[0]["op"] == "u" and out[0]["content"] == "v2"
+
+
+def test_delete_wins_marks_absent(spark):
+    df = _mk(spark, [_row("i", 1), _row("u", 2), _row("d", 3)])
+    out = lww_resolve(df, KEYS, ORDER, PAYLOAD).collect()
+    assert len(out) == 1 and out[0]["op"] == "d"
+
+
+def test_duplicate_boundary_event_is_idempotent(spark):
+    # ≙ ts>=token re-read (collection.go:59) + swallowed dup-key error
+    base = [_row("i", 1, content="v1"), _row("u", 2, content="v2")]
+    df = _mk(spark, base + [base[-1]])  # exact duplicate of last event
+    out = lww_resolve(df, KEYS, ORDER, PAYLOAD).collect()
+    assert len(out) == 1 and out[0]["content"] == "v2"
+
+
+def test_unknown_op_raises(spark):
+    # ≙ query_generator.go:43-45
+    df = _mk(spark, [_row("i", 1)]).replace("i", "x", subset=["op"])
+    with pytest.raises(SparkRuntimeException, match="unknown op"):
+        lww_resolve(df, KEYS, ORDER, PAYLOAD).collect()
+
+
+def test_salted_equals_unsalted(spark):
+    df = events_df(spark, LogSpec(n_events=5_000, n_repos=3, hot_pct=60, seed=7))
+    a = lww_resolve(df, KEYS, ORDER, PAYLOAD).sort(*KEYS).collect()
+    b = lww_resolve(df, KEYS, ORDER, PAYLOAD, salt_partitions=16).sort(*KEYS).collect()
+    assert a == b
+
+
+def test_lww_matches_pandas_oracle(spark):
+    spec = LogSpec(n_events=8_000, n_repos=5, n_paths=7, n_commits=3, dup_every=97, seed=11)
+    df = events_df(spark, spec)
+    resolved = lww_resolve(df, KEYS, ORDER, PAYLOAD)
+    live = resolved.filter("op != 'd'").select(*KEYS, *PAYLOAD)
+    got = live.toPandas().sort_values(KEYS).reset_index(drop=True)
+    want = replay_oracle(df.toPandas())[got.columns]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_merge_resolved_applies_iud(spark):
+    current = spark.createDataFrame(
+        [("r1", "p1", "c1", "py", "old"), ("r2", "p1", "c1", "go", "keep")],
+        schema=schemas.TABLE_SCHEMA,
+    )
+    batch = _mk(
+        spark,
+        [
+            _row("u", 10, key=("r1", "p1", "c1"), content="new"),  # replace
+            _row("d", 11, key=("r2", "p1", "c1")),  # delete existing
+            _row("i", 12, key=("r3", "p1", "c1"), content="ins"),  # insert new
+            _row("d", 13, key=("r4", "p1", "c1")),  # delete absent = no-op
+        ],
+    )
+    resolved = lww_resolve(batch, KEYS, ORDER, PAYLOAD)
+    out = merge_resolved(current, resolved, KEYS, ORDER, PAYLOAD)
+    got = {(r["repo"], r["content"]) for r in out.collect()}
+    assert got == {("r1", "new"), ("r3", "ins")}
+
+
+def test_filters_and_token(spark):
+    df = events_df(spark, LogSpec(n_events=2_000, seed=3))
+    f = apply_filters(df, [("repo", "$eq", "repo_00001")])
+    assert f.select("repo").distinct().collect() == [("repo_00001",)]
+    tok = (1_700_000_000, 500, 500)
+    after = from_token(df, tok)
+    assert after.count() == df.count() - 501  # seqs 0..500 excluded
