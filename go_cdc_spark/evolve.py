@@ -1,0 +1,77 @@
+"""Additive schema evolution (north_rule).
+
+The reference gets schema evolution "for free" by being schemaless
+(``map[string]interface{}``, reference mongoreplay/message.go:11). Our
+contract: events may carry a *superset* of the table's payload columns;
+new columns are added as nullable, missing ones fill null. Only
+additive changes are allowed — a type conflict is an error.
+
+Two equivalent alignment paths:
+- ``align_to_schema``: pure Column expressions (null-pad + cast +
+  reorder) — zero-cost under Catalyst, the default.
+- ``align_with_arrow``: the same reconciliation done vectorized at the
+  Arrow RecordBatch level inside ``mapInArrow`` — the pandas/Arrow-UDF
+  formulation the driver contract names; used when a chunk arrives as
+  Arrow batches of a foreign schema. Batch-at-a-time, no per-row
+  Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def union_schema(base: T.StructType, incoming: T.StructType) -> T.StructType:
+    """base + (incoming - base), additive-only; type conflicts raise."""
+    by_name = {f.name: f for f in base.fields}
+    out = list(base.fields)
+    for f in incoming.fields:
+        if f.name in by_name:
+            if by_name[f.name].dataType != f.dataType:
+                raise TypeError(
+                    f"non-additive schema change on {f.name!r}: "
+                    f"{by_name[f.name].dataType} → {f.dataType}"
+                )
+        else:
+            out.append(T.StructField(f.name, f.dataType, nullable=True))
+    return T.StructType(out)
+
+
+def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Null-pad missing columns, cast, and order columns per schema."""
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in schema.fields:
+        if f.name in have:
+            c = F.col(f.name)
+            if have[f.name].dataType != f.dataType:
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def align_with_arrow(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Arrow-level reconciliation via ``mapInArrow`` (vectorized)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+
+    def reconcile(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            arrays = []
+            for field in target:
+                if b.schema.get_field_index(field.name) >= 0:
+                    col = b.column(field.name)
+                    if col.type != field.type:
+                        col = col.cast(field.type)
+                    arrays.append(col)
+                else:
+                    arrays.append(pa.nulls(b.num_rows, type=field.type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+    return df.mapInArrow(reconcile, schema)

@@ -1,0 +1,214 @@
+"""Replay drivers: chunked-batch and Structured Streaming tailing.
+
+≙ StageTracker + TailerManager (reference mongoreplay/stage_tracker.go:
+64-140, tailer_manager.go:59-134): resume from the bookmark, consume
+the log in capped batches, apply, advance the durable token only after
+apply. Two modes, identical per-epoch body (resolve → MERGE →
+bookmark):
+
+- ``replay_chunked``: deterministic segment-group epochs; resumable —
+  epochs already in the lake's committed set are skipped (exactly-once
+  even across kill -9 between table commit and bookmark write).
+- ``replay_streaming``: ``readStream`` over the segment directory with
+  ``maxFilesPerTrigger`` (≙ FetchCountThreshold, tailer.go:35) and
+  ``Trigger.AvailableNow`` / processingTime (≙ the 1 s tickers,
+  tailer.go:100); ``foreachBatch`` bodies are idempotent on the
+  streaming epoch id, so checkpoint replays after a crash no-op.
+
+Where the reference drops events when its ring buffer is full
+(tailer_manager.go:106-109 — a data-loss bug, SURVEY §2.2-5), Spark's
+backpressure + spill makes the failure mode "slower", never "lossy".
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from go_cdc_spark import schemas
+from go_cdc_spark.bookmark import BookmarkRow, BookmarkStore
+from go_cdc_spark.config import PipelineConfig
+from go_cdc_spark.operators.resolve import lww_resolve
+from go_cdc_spark.sinks.lake import ParquetLakeTable
+from go_cdc_spark.sources.oplog import list_segments, plan_chunks, read_chunk
+
+
+@dataclass
+class EpochResult:
+    epoch: int
+    applied: bool
+    events: int = 0
+    rows_written: int = 0
+    seconds: float = 0.0
+    hwm: tuple[int, int, int] = schemas.ZERO_TOKEN
+    bucket_counts: dict[int, int] = field(default_factory=dict)
+
+
+def _payload_cols(df: DataFrame, key_cols, order_cols) -> list[str]:
+    skip = set(key_cols) | set(order_cols) | {"op", "segment"}
+    return [c for c in df.columns if c not in skip]
+
+
+def _hwm(df: DataFrame) -> tuple[tuple[int, int, int], int]:
+    row = df.agg(
+        F.max(F.struct("ts_t", "ts_i", "seq")).alias("m"), F.count("*").alias("n")
+    ).collect()[0]
+    m = row["m"]
+    return ((m["ts_t"], m["ts_i"], m["seq"]) if m else schemas.ZERO_TOKEN, row["n"])
+
+
+def apply_epoch(
+    events: DataFrame,
+    lake: ParquetLakeTable,
+    bookmarks: BookmarkStore,
+    cfg: PipelineConfig,
+    epoch: int,
+    epoch_key: str,
+    stage: str = "tail",
+) -> EpochResult:
+    """The per-micro-batch body shared by both modes: LWW-resolve the
+    events, MERGE into the lake (idempotent on epoch_key), then record
+    the bookmark. ≙ TailerManager.flushAll (tailer_manager.go:71-91)
+    with the token advanced only after a durable apply."""
+    t0 = time.time()
+    events = events.drop("segment") if "segment" in events.columns else events
+    hwm, n_events = _hwm(events)
+    resolved = lww_resolve(
+        events,
+        cfg.key_cols,
+        cfg.order_cols,
+        _payload_cols(events, cfg.key_cols, cfg.order_cols),
+        salt_partitions=cfg.salt_partitions,
+    )
+    stats = lake.apply_batch(resolved, epoch_key=epoch_key, order_cols=cfg.order_cols)
+    dt = time.time() - t0
+    bookmarks.record(
+        BookmarkRow(
+            pipeline_id=cfg.pipeline_id,
+            epoch=epoch,
+            ts_t=hwm[0],
+            ts_i=hwm[1],
+            seq=hwm[2],
+            stage=stage,
+            status="success",
+            event_count=n_events,
+            partition_counts={str(b): c for b, c in stats.bucket_counts.items()},
+            metrics={
+                "seconds": dt,
+                "events_per_sec": (n_events / dt) if dt > 0 else 0.0,
+                "applied": float(stats.applied),
+            },
+        )
+    )
+    return EpochResult(
+        epoch, stats.applied, n_events, stats.rows_written, dt, hwm, stats.bucket_counts
+    )
+
+
+def replay_chunked(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    chunk_segments: int = 1,
+    max_epochs: int | None = None,
+) -> list[EpochResult]:
+    """Resumable chunked-batch replay of the whole log directory."""
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    bookmarks = BookmarkStore(cfg.bookmark_root, cfg.pipeline_id)
+    token = bookmarks.latest_token()
+    done = lake.committed_epochs()
+
+    results = []
+    chunks = plan_chunks(list_segments(cfg.source_log_path), chunk_segments)
+    for chunk in chunks:
+        if max_epochs is not None and len(results) >= max_epochs:
+            break
+        epoch_key = f"tail-{cfg.pipeline_id}-{chunk.epoch}"
+        if epoch_key in done:
+            # already applied in a previous run (maybe before a crash —
+            # the bookmark row may be missing; re-record nothing, the
+            # lake is the source of truth). Skip = exactly-once.
+            continue
+        events = read_chunk(
+            spark, cfg.source_log_path, chunk, token=token, filters=cfg.filters
+        )
+        results.append(
+            apply_epoch(events, lake, bookmarks, cfg, chunk.epoch, epoch_key)
+        )
+    return results
+
+
+def replay_streaming(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Structured Streaming tail over the segment directory.
+
+    Returns the StreamingQuery (caller awaits/stops). Late/replayed
+    micro-batches are deduped by epoch-keyed idempotent commits.
+    """
+    from go_cdc_spark.evolve import union_schema
+
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    bookmarks = BookmarkStore(cfg.bookmark_root, cfg.pipeline_id)
+
+    # Streaming needs a fixed schema: the union of event schema and the
+    # table's payload (covers already-evolved columns; parquet fills
+    # missing columns with null).
+    stream_schema = union_schema(schemas.EVENT_SCHEMA, lake.schema)
+    reader = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{cfg.source_log_path}/segment=*")
+    )
+
+    def body(batch_df: DataFrame, epoch_id: int):
+        apply_epoch(
+            batch_df,
+            lake,
+            bookmarks,
+            cfg,
+            epoch=int(epoch_id),
+            epoch_key=f"stream-{cfg.pipeline_id}-{epoch_id}",
+        )
+
+    writer = (
+        reader.writeStream.foreachBatch(body)
+        .option("checkpointLocation", f"{cfg.bookmark_root}/{cfg.pipeline_id}/_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=cfg.trigger_interval or "1 second")
+    return writer.start()
+
+
+def run_pipeline(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    source_df: DataFrame | None = None,
+    chunk_segments: int = 1,
+) -> list[EpochResult]:
+    """Full stage machine: Init → [Snapshot] → Tail (chunked).
+
+    ≙ StageTracker stage map Init→Prepare→Dump→Tail
+    (stage_tracker.go:78-84), minus its double-recursion re-run bug
+    (stage_tracker.go:106-111, SURVEY §2.2-5)."""
+    from go_cdc_spark.sources.snapshot import run_snapshot
+
+    try:
+        lake = ParquetLakeTable.load(spark, cfg.table_root)
+    except FileNotFoundError:
+        lake = ParquetLakeTable.create(
+            spark, cfg.table_root, schemas.TABLE_SCHEMA, cfg.key_cols, cfg.n_buckets
+        )
+    bookmarks = BookmarkStore(cfg.bookmark_root, cfg.pipeline_id)
+    bookmarks.record(
+        BookmarkRow(cfg.pipeline_id, -2, *schemas.ZERO_TOKEN, stage="init", status="success")
+    )
+    if source_df is not None:
+        run_snapshot(source_df, lake, bookmarks)
+    return replay_chunked(spark, cfg, chunk_segments=chunk_segments)

@@ -1,0 +1,118 @@
+"""End-to-end replay: snapshot→tail, kill/resume, skew, evolution,
+streaming — the sha256 final-state contract (BASELINE.json)."""
+
+from __future__ import annotations
+
+import os
+
+from go_cdc_spark import schemas
+from go_cdc_spark.bookmark import BookmarkStore
+from go_cdc_spark.config import PipelineConfig
+from go_cdc_spark.genlog import LogSpec, write_segments
+from go_cdc_spark.metrics import replication_lag, throughput_summary
+from go_cdc_spark.oracle import replay_oracle, table_fingerprint
+from go_cdc_spark.sinks.lake import ParquetLakeTable
+from go_cdc_spark.streaming.replay import replay_chunked, replay_streaming, run_pipeline
+
+
+def _cfg(tmpdir_path, **kw):
+    return PipelineConfig(
+        pipeline_id=kw.pop("pipeline_id", "t1"),
+        source_log_path=os.path.join(tmpdir_path, "log"),
+        table_root=os.path.join(tmpdir_path, "table"),
+        bookmark_root=os.path.join(tmpdir_path, "bookmarks"),
+        n_buckets=8,
+        **kw,
+    )
+
+
+def _fingerprint(lake):
+    return table_fingerprint(lake.read().toPandas())
+
+
+def _oracle_fp(spark, log_dir):
+    log = spark.read.option("mergeSchema", "true").parquet(log_dir).drop("segment")
+    return table_fingerprint(replay_oracle(log.toPandas()))
+
+
+def test_full_replay_matches_oracle(spark, tmpdir_path):
+    cfg = _cfg(tmpdir_path)
+    spec = LogSpec(n_events=6_000, segment_events=1_500, dup_every=53, seed=21)
+    write_segments(spark, spec, cfg.source_log_path)
+    results = run_pipeline(spark, cfg)
+    assert [r.epoch for r in results] == [0, 1, 2, 3]
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    assert _fingerprint(lake) == _oracle_fp(spark, cfg.source_log_path)
+    bm = BookmarkStore(cfg.bookmark_root, cfg.pipeline_id)
+    assert replication_lag(spark, cfg.source_log_path, bm)["caught_up"]
+    assert throughput_summary(bm)["events"] > 6_000  # includes duplicates
+
+
+def test_kill_mid_replay_then_resume(spark, tmpdir_path):
+    cfg = _cfg(tmpdir_path)
+    spec = LogSpec(n_events=4_000, segment_events=1_000, seed=33)
+    write_segments(spark, spec, cfg.source_log_path)
+    ParquetLakeTable.create(spark, cfg.table_root, schemas.TABLE_SCHEMA, cfg.key_cols, cfg.n_buckets)
+    part1 = replay_chunked(spark, cfg, max_epochs=2)
+    assert len(part1) == 2
+    # resume: must apply ONLY the remaining epochs, no re-apply
+    part2 = replay_chunked(spark, cfg)
+    assert [r.epoch for r in part2] == [2, 3]
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    assert _fingerprint(lake) == _oracle_fp(spark, cfg.source_log_path)
+    # a third run is a complete no-op
+    assert replay_chunked(spark, cfg) == []
+
+
+def test_snapshot_then_tail_overlap(spark, tmpdir_path):
+    from go_cdc_spark.operators.resolve import lww_resolve
+
+    cfg = _cfg(tmpdir_path)
+    spec = LogSpec(n_events=3_000, segment_events=1_000, seed=8)
+    write_segments(spark, spec, cfg.source_log_path)
+    # the "source collection at dump time" = LWW state of the log prefix;
+    # its creation timestamps are the winning events' ts (≙ createdAt,
+    # dumper.go:85) so the stamped token is max-createdAt of dumped docs
+    log = spark.read.parquet(cfg.source_log_path)
+    prefix = log.filter("seq < 1000").drop("segment")
+    src = lww_resolve(prefix, schemas.KEY_COLS, schemas.ORDER_COLS,
+                      schemas.PAYLOAD_COLS).filter("op != 'd'").drop("op")
+    run_pipeline(spark, cfg, source_df=src)
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    # tail replays the full log over the snapshot; LWW makes the overlap
+    # idempotent, so final state == oracle over the full log
+    assert _fingerprint(lake) == _oracle_fp(spark, cfg.source_log_path)
+
+
+def test_skewed_hot_repo_matches_oracle(spark, tmpdir_path):
+    cfg = _cfg(tmpdir_path, salt_partitions=8)
+    spec = LogSpec(n_events=8_000, segment_events=4_000, hot_pct=50, n_repos=10, seed=13)
+    write_segments(spark, spec, cfg.source_log_path)
+    run_pipeline(spark, cfg)
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    assert _fingerprint(lake) == _oracle_fp(spark, cfg.source_log_path)
+
+
+def test_schema_evolution_mid_log(spark, tmpdir_path):
+    cfg = _cfg(tmpdir_path)
+    spec = LogSpec(n_events=4_000, segment_events=1_000, evolve_from_segment=2, seed=17)
+    write_segments(spark, spec, cfg.source_log_path)
+    run_pipeline(spark, cfg)
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    cols = [f.name for f in lake.schema.fields]
+    assert "content_sha" in cols
+    out = lake.read().toPandas()
+    assert _fingerprint(lake) == _oracle_fp(spark, cfg.source_log_path)
+    # rows last touched before evolution have null content_sha
+    assert out["content_sha"].isna().any() and out["content_sha"].notna().any()
+
+
+def test_streaming_replay_matches_oracle(spark, tmpdir_path):
+    cfg = _cfg(tmpdir_path, pipeline_id="stream1")
+    spec = LogSpec(n_events=3_000, segment_events=1_000, dup_every=71, seed=29)
+    write_segments(spark, spec, cfg.source_log_path)
+    ParquetLakeTable.create(spark, cfg.table_root, schemas.TABLE_SCHEMA, cfg.key_cols, cfg.n_buckets)
+    q = replay_streaming(spark, cfg, max_files_per_trigger=2, available_now=True)
+    q.awaitTermination(120)
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    assert _fingerprint(lake) == _oracle_fp(spark, cfg.source_log_path)
