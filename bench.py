@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from __spark_entry__.queries() at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the end-to-end CDC replay pipeline over
+a deterministically generated oplog scaled to the sf, and prints ONE
+JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ..., "replay_events_per_sec": ...}
+
+Scaling-efficiency evidence (same job at local[8] vs local[32]) is
+produced by bench_scaling.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# events in the generated replay log, proportional to sf
+_SF_GUESS = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1, "sf1": 1.0}
+SF = next((v for k, v in _SF_GUESS.items() if k in SF_DIR), 0.1)
+REPLAY_EVENTS = int(os.environ.get("SPARK_GRAFT_REPLAY_EVENTS", str(int(20_000_000 * SF))))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .appName("go_cdc_spark-bench")
+        .getOrCreate()
+    )
+
+
+def time_query(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def bench_replay(spark, n_events: int) -> tuple[float, dict]:
+    """End-to-end: generated oplog (skewed, with duplicates and mid-log
+    schema evolution) replayed into a fresh lake table. Generation is
+    excluded from the timed window."""
+    from go_cdc_spark import schemas
+    from go_cdc_spark.config import PipelineConfig
+    from go_cdc_spark.genlog import LogSpec, write_segments
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+    from go_cdc_spark.streaming.replay import replay_chunked
+
+    d = tempfile.mkdtemp(prefix="go_cdc_bench_")
+    try:
+        cfg = PipelineConfig(
+            "bench",
+            f"{d}/log",
+            f"{d}/table",
+            f"{d}/bm",
+            n_buckets=64,
+            salt_partitions=None,
+        )
+        n_segments = 8
+        spec = LogSpec(
+            n_events=n_events,
+            n_repos=max(n_events // 2000, 20),
+            n_paths=200,
+            n_commits=50,
+            hot_pct=30,
+            dup_every=997,
+            segment_events=max(n_events // n_segments, 1),
+            evolve_from_segment=n_segments // 2,
+            seed=42,
+        )
+        write_segments(spark, spec, cfg.source_log_path)
+        ParquetLakeTable.create(
+            spark, cfg.table_root, schemas.TABLE_SCHEMA, cfg.key_cols, cfg.n_buckets
+        )
+        t0 = time.time()
+        results = replay_chunked(spark, cfg, chunk_segments=2)
+        dt = time.time() - t0
+        events = sum(r.events for r in results)
+        return dt, {"replay_events": events, "replay_epochs": len(results)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/scan path once (excluded from timings)
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        timings[name] = round(time_query(fn(spark, SF_DIR)), 3)
+
+    replay_sec, replay_info = bench_replay(spark, REPLAY_EVENTS)
+    timings["cdc_replay_e2e"] = round(replay_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_replay",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF,
+                "cpus": CPUS,
+                "replay_events": replay_info["replay_events"],
+                "replay_events_per_sec": round(
+                    replay_info["replay_events"] / replay_sec, 1
+                )
+                if replay_sec
+                else 0.0,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
