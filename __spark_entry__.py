@@ -12,9 +12,14 @@ The CDC family derives a change-event view from the ``events`` table:
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -180,6 +185,165 @@ def q_cdc_watch_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_replay_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-engine end-to-end: derive a change-event log from `events`,
+    write it as oplog segments, replay through the real pipeline
+    (segmented chunks → LWW resolve → bucketed lake MERGE with
+    epoch-idempotent manifests → bookmarks), and return the final
+    table state. The oracle is the single-shot SQL replay — equality
+    is the reference-parity contract (final table state matches the
+    reference tailer's replicated collection, BASELINE.json)."""
+    from go_cdc_spark import schemas
+    from go_cdc_spark.config import PipelineConfig
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+    from go_cdc_spark.streaming.replay import replay_chunked
+    from pyspark.sql import types as T
+
+    ev = _events(spark, sf_dir)
+    # event_id is monotone in ts in this dataset (verified), so
+    # (ts, event_id) order ≡ (ts_t=event_id, ts_i=0, seq=event_id)
+    log = ev.select(
+        _op(ev).alias("op"),
+        F.col("event_id").alias("ts_t"),
+        F.lit(0).cast("long").alias("ts_i"),
+        F.col("event_id").alias("seq"),
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+    # segments must be ordered seq ranges (one segment ≙ one oplog poll)
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    log = log.withColumn(
+        "segment", (F.col("seq") * 4 / (max_id + 1)).cast("long")
+    )
+    d = tempfile.mkdtemp(prefix="go_cdc_entry_")
+    log_dir = os.path.join(d, "log")
+    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
+    table_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    cfg = PipelineConfig(
+        pipeline_id="entry-e2e",
+        source_log_path=log_dir,
+        table_root=os.path.join(d, "table"),
+        bookmark_root=os.path.join(d, "bm"),
+        key_cols=["user_id"],
+        order_cols=list(schemas.ORDER_COLS),
+        n_buckets=8,
+    )
+    lake = ParquetLakeTable.create(
+        spark, cfg.table_root, table_schema, cfg.key_cols, cfg.n_buckets
+    )
+    replay_chunked(spark, cfg, chunk_segments=1)
+    return lake.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+# ---------------- training-data pipeline queries ----------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_cdc_spark.functions.text import token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_cdc_spark.functions.text import quality_features
+
+    return quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars_q", "n_tokens", "punct_per_100_chars", "mean_token_len"
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_cdc_spark.functions.text import lang_id
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_cdc_spark.functions.text import fingerprint
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_cdc_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_cdc_spark.functions.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (vectorized-UDF op; not ANSI-SQL-expressible)."""
+    from go_cdc_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_hashes=64, bands=16, threshold=0.8
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (vectorized-UDF op)."""
+    from go_cdc_spark.functions.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_sim_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_cdc_spark.functions.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries_df, k=10)
+
+
+def q_sim_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_cdc_spark.functions.similarity import near_dup_by_cosine
+
+    return near_dup_by_cosine(_emb(spark, sf_dir), threshold=0.45)
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (approximate by construction)."""
+    from go_cdc_spark.functions.similarity import lsh_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return lsh_ann_topk(emb, queries_df, k=10, n_bits=4, n_tables=8)
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (binary-column plumbing with stubbed codec)."""
+    from go_cdc_spark.functions.multimodal import extract_features, synthetic_media
+
+    return extract_features(synthetic_media(spark, 1000), codec="fake")
+
+
 # ---------------- driver contract ----------------
 
 
@@ -200,6 +364,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_delete_apply": q_cdc_delete_apply,
         "cdc_watch_threshold": q_cdc_watch_threshold,
+        "cdc_replay_pipeline": q_cdc_replay_pipeline,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_ann_bruteforce": q_sim_ann_bruteforce,
+        "sim_near_dup_cosine": q_sim_near_dup_cosine,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "mm_features": q_mm_features,
     }
 
 
@@ -240,4 +417,84 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
             "FROM first_n GROUP BY event_type"
         ),
+        # full-engine replay vs single-shot SQL replay (event_id is
+        # monotone in ts, so ordering by event_id ≡ (ts, event_id))
+        "cdc_replay_pipeline": (
+            f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
+            f"{_OP_SQL} AS op FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
+            "SELECT user_id, event_type AS last_event_type, value AS last_value "
+            "FROM r WHERE rn = 1 AND op <> 'd'"
+        ),
+        "text_token_count": (
+            "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens "
+            "FROM documents"
+        ),
+        "text_quality": (
+            "WITH q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q, "
+            "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, "
+            "length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct FROM documents) "
+            "SELECT doc_id, n_chars_q, n_tokens, "
+            "round(n_punct * 100.0 / greatest(n_chars_q, 1), 4) AS punct_per_100_chars, "
+            "round((n_chars_q - (n_tokens - 1)) / greatest(n_tokens, 1), 4) AS mean_token_len "
+            "FROM q"
+        ),
+        "text_lang_id": (
+            "WITH s AS (SELECT doc_id, lang, "
+            "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) s_en, "
+            "len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) s_de, "
+            "len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) s_fr, "
+            "len(regexp_extract_all(lower(text), '\\b(el|los|las|y|es)\\b')) s_es, "
+            "len(regexp_extract_all(text, '[一-鿿]')) s_zh FROM documents) "
+            "SELECT doc_id, lang, CASE WHEN s_zh > 0 THEN 'zh' "
+            "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+            "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+            "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_guess FROM s"
+        ),
+        "text_fingerprint": (
+            "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp "
+            "FROM documents"
+        ),
+        "dedup_exact": (
+            "SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, "
+            "CAST(min(doc_id) AS BIGINT) AS canonical_id, "
+            "CAST(count(*) AS BIGINT) AS group_size FROM documents GROUP BY 1"
+        ),
+        "dedup_jaccard": (
+            "WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex("
+            "lower(trim(text)), '\\s+'))) AS token FROM documents), "
+            "tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0), "
+            "sizes AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common "
+            "FROM tk a JOIN tk b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, "
+            "round(n_common * 1.0 / (sa.n_tok + sb.n_tok - n_common), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
+            "WHERE round(n_common * 1.0 / (sa.n_tok + sb.n_tok - n_common), 6) >= 0.9"
+        ),
+        "sim_ann_bruteforce": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "q AS (SELECT * FROM e WHERE vec_id < 5), "
+            "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * "
+            "sqrt(list_dot_product(c.v, c.v))) AS cos FROM e c, q WHERE c.vec_id <> q.vec_id), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, neighbor_id) AS rn FROM scored) "
+            "SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim, "
+            "CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10"
+        ),
+        "sim_near_dup_cosine": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+            "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, "
+            "round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+            "sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+            "sqrt(list_dot_product(b.v, b.v))) >= 0.45"
+        ),
+        # dedup_minhash_lsh, dedup_simhash, sim_ann_lsh, mm_features:
+        # intentionally omitted — vectorized-UDF / approximate ops get
+        # the driver's rows-only check.
     }

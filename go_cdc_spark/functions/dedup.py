@@ -1,0 +1,316 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale design notes (the 100 TB story):
+- exact: one groupBy on a 128-bit fingerprint — shuffle carries
+  (fingerprint, id), never the text.
+- token-Jaccard: explode to (token, doc) postings, self-join on token
+  (shuffle co-partitioned by token), count shared tokens, then one
+  broadcast-able per-doc-cardinality join. Works when the token
+  vocabulary is large (postings lists short); for web-scale corpora
+  use the MinHash-LSH variant instead.
+- MinHash-LSH: per-doc signatures via a *vectorized* pandas UDF
+  (numpy matrix ops over Arrow batches — no per-row Python), banded
+  into buckets; only same-bucket candidates are joined. Candidate
+  count is O(near-dup pairs), not O(n²).
+- SimHash: 64-bit signature, near-dups = small hamming distance;
+  same vectorized-UDF pattern.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from go_cdc_spark.functions.text import fingerprint
+
+# ---------------- exact ----------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (whitespace-normalized) docs: one row
+    per group with the canonical (min-id) representative."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative per exact-duplicate group."""
+    keep = exact_duplicates(df, text_col, id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="semi")
+
+
+# ---------------- token-set Jaccard ----------------
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        df.select(
+            id_col,
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+            ).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by token-set Jaccard ≥ threshold.
+
+    Postings self-join: shuffle by token, count co-occurrences, then
+    |A∪B| = |A|+|B|−|A∩B|. The per-doc size table is tiny → broadcast.
+    """
+    toks = _tokens(df, text_col, id_col)
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, on="token")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_tok").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_tok").alias("n_b")))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------- MinHash + LSH ----------------
+
+# Deterministic universal-hash parameters: h_i(x) = (a_i*x + b_i) mod p.
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _hash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rs = np.random.RandomState(seed)  # fixed seed ⇒ same planes everywhere
+    a = rs.randint(1, _MERSENNE_P, size=n_hashes, dtype=np.int64).astype(object)
+    b = rs.randint(0, _MERSENNE_P, size=n_hashes, dtype=np.int64).astype(object)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 64,
+    shingle_len: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per doc over word ``shingle_len``-grams.
+
+    Vectorized pandas UDF: each Arrow batch is shingled and hashed with
+    numpy matrix ops (no per-row Python loops beyond shingling itself,
+    which is a C-speed pandas str op chain + python-level shingle
+    assembly per doc — acceptable because docs are the batch unit).
+    """
+    a, b = _hash_params(n_hashes, seed)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("signature", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def compute(it):
+        for pdf in it:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = str(text).lower().split()
+                if len(toks) < shingle_len:
+                    shingles = [" ".join(toks)] if toks else [""]
+                else:
+                    shingles = [
+                        " ".join(toks[i : i + shingle_len])
+                        for i in range(len(toks) - shingle_len + 1)
+                    ]
+                # stable 63-bit shingle ids
+                sh = np.array(
+                    [hash_str(s) for s in shingles], dtype=np.int64
+                ).astype(object)
+                # (n_hashes, n_shingles) universal hashing, min over shingles
+                vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE_P
+                sigs.append(np.min(vals, axis=1).astype(np.int64))
+                ids.append(doc_id)
+            yield pd.DataFrame({id_col: ids, "signature": [list(map(int, s)) for s in sigs]})
+
+    import hashlib
+
+    def hash_str(s: str) -> int:
+        return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") >> 1
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_len: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-banded candidate pairs + MinHash-estimated Jaccard ≥ threshold.
+
+    shingle→minhash→band→bucket-join: docs sharing any band bucket are
+    candidates; the estimated Jaccard = fraction of matching signature
+    positions. Candidate join is per-bucket, never all-pairs.
+    """
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, n_hashes, shingle_len, text_col, id_col, seed)
+    banded = sigs.select(
+        id_col,
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band),
+                    i,
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(n_hashes)
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------- SimHash ----------------
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc (token-hash bit-vote), vectorized numpy."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    import hashlib
+
+    def compute(it):
+        bitcols = np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            ids, hs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = str(text).lower().split()
+                if not toks:
+                    ids.append(doc_id)
+                    hs.append(0)
+                    continue
+                th = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                        )
+                        for t in toks
+                    ],
+                    dtype=np.uint64,
+                )
+                bits = (th[:, None] >> bitcols[None, :]) & np.uint64(1)  # (n_tok, 64)
+                votes = bits.sum(axis=0) * 2 > len(toks)  # majority per bit
+                sig = int(np.packbits(votes[::-1]).view(">u8")[0])
+                ids.append(doc_id)
+                hs.append(sig - (1 << 64) if sig >= 1 << 63 else sig)  # to signed
+            yield pd.DataFrame({id_col: ids, "simhash": pd.array(hs, dtype="int64")})
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit signature into
+    ``max_hamming+1`` chunks — any pair within the distance budget
+    shares at least one identical chunk, so the join is per-block,
+    never all-pairs.
+    """
+    n_chunks = max_hamming + 1
+    width = -(-64 // n_chunks)  # ceil
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunks = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), k * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for k in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_pos", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, on=["chunk_pos", "chunk_val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

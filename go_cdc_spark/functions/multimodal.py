@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+The Spark-side machinery (schemas, partition-aware batching, Arrow UDF
+signatures, metadata typing) is real and tested; the codec step itself
+is STUBBED because no image/audio libraries exist in this container —
+``decode_images(..., codec="real")`` raises NotImplementedError, and
+``codec="fake"`` produces a deterministic hash-derived feature vector
+with the exact shapes/dtypes a real decoder would emit, so downstream
+operators (dedup, ANN over the features) are fully exercisable.
+
+Media schema convention:
+
+    media(media_id: long, kind: string ('image'|'audio'|'video'),
+          payload: binary, meta: struct<width:int, height:int,
+          sample_rate:int, n_frames:int, mime:string>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+META_TYPE = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("mime", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", META_TYPE, True),
+    ]
+)
+
+
+def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic opaque-binary media table (no external data):
+    payload bytes derive from sha2 of the id — stable across runs."""
+    kinds = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+    )
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        kinds.alias("kind"),
+        F.to_binary(F.sha2(F.concat(F.lit("payload"), F.col("id").cast("string")), 256), F.lit("hex")).alias(
+            "payload"
+        ),
+        F.struct(
+            (F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(1920)) + 1).cast("int").alias("width"),
+            (F.pmod(F.xxhash64("id", F.lit(seed + 2)), F.lit(1080)) + 1).cast("int").alias("height"),
+            F.lit(16_000).alias("sample_rate"),
+            (F.pmod(F.xxhash64("id", F.lit(seed + 3)), F.lit(300)) + 1).cast("int").alias("n_frames"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+    return df
+
+
+_FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload_sha", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow-batched).
+
+    codec="real" is a stub (no media libs in this container);
+    codec="fake" emits a deterministic 16-dim feature vector derived
+    from the payload hash — correct shapes, dtypes, and batch flow.
+    """
+    if codec not in ("real", "fake"):
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def compute(it):
+        for pdf in it:
+            if codec == "real":
+                raise NotImplementedError(
+                    "real media decoding needs PIL/torchaudio/ffmpeg — "
+                    "not available in this container; use codec='fake'"
+                )
+            shas, feats = [], []
+            for payload in pdf["payload"]:
+                digest = hashlib.sha256(bytes(payload or b"")).digest()
+                shas.append(digest.hex())
+                vec = (
+                    np.frombuffer(digest[:_FEATURE_DIM * 2], dtype=np.uint16)
+                    .astype(np.float32)
+                    / 65535.0
+                )
+                feats.append(vec)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"],
+                    "payload_sha": shas,
+                    "features": [list(map(float, v)) for v in feats],
+                }
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        compute, schema=FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame index —
+    pure Column math on metadata (the decode itself is the stubbed
+    step above). Demonstrates explode-based fan-out partitioning."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_n)
+                )
+            ).alias("frame_idx"),
+        )
+    )

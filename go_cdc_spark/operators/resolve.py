@@ -63,11 +63,14 @@ def lww_resolve(
     payload_cols: Sequence[str],
     salt_partitions: int | None = None,
     validate: bool = True,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Reduce a change-event stream to the last event per key.
 
     Returns one row per key: key_cols + op + payload_cols, where op is
     the winning event's op ('d' ⇒ the key should be absent downstream).
+    ``count_col`` adds a per-key raw-event count column so callers get
+    lineage counts from the same single shuffle (no second scan).
     """
     op = checked_op("op") if validate else F.col("op")
     winner = F.max(
@@ -83,10 +86,15 @@ def lww_resolve(
         # reduces each (key, salt) cell, phase 2 merges cells. Correct
         # because max-struct is associative+commutative (semilattice).
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_partitions))
-        partial = df.groupBy(*key_cols, salt.alias("_salt")).agg(winner)
-        reduced = partial.groupBy(*key_cols).agg(F.max(_WINNER).alias(_WINNER))
+        aggs = [winner] + ([F.count("*").alias(count_col)] if count_col else [])
+        partial = df.groupBy(*key_cols, salt.alias("_salt")).agg(*aggs)
+        aggs2 = [F.max(_WINNER).alias(_WINNER)] + (
+            [F.sum(count_col).alias(count_col)] if count_col else []
+        )
+        reduced = partial.groupBy(*key_cols).agg(*aggs2)
     else:
-        reduced = df.groupBy(*key_cols).agg(winner)
+        aggs = [winner] + ([F.count("*").alias(count_col)] if count_col else [])
+        reduced = df.groupBy(*key_cols).agg(*aggs)
 
     w = F.col(_WINNER)
     return reduced.select(
@@ -94,6 +102,7 @@ def lww_resolve(
         *[w[c].alias(c) for c in order_cols],
         w["op"].alias("op"),
         *[w[c].alias(c) for c in payload_cols],
+        *([count_col] if count_col else []),
     )
 
 

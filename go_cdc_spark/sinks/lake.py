@@ -78,6 +78,7 @@ class ParquetLakeTable:
         schema: T.StructType,
         key_cols: list[str],
         n_buckets: int,
+        files_per_bucket: int = 1,
     ) -> "ParquetLakeTable":
         t = cls(spark, root)
         os.makedirs(t._commits_dir, exist_ok=True)
@@ -89,6 +90,10 @@ class ParquetLakeTable:
                     "schema": schema.json(),
                     "key_cols": key_cols,
                     "n_buckets": n_buckets,
+                    # >1 splits each bucket dir into several files so a
+                    # 100 TB table's multi-GB buckets are written (and
+                    # later scanned) by several tasks, not one.
+                    "files_per_bucket": files_per_bucket,
                     "buckets": {},
                     "bucket_counts": {},
                     "epochs": ["__create__"],
@@ -184,11 +189,17 @@ class ParquetLakeTable:
         """Write df (must carry ``bucket`` col) under data/v{version};
         returns per-bucket row counts read back from the written files."""
         out_dir = os.path.join(self.root, "data", f"v{version}")
+        fpb = int(self.manifest().get("files_per_bucket", 1))
+        part_cols = [F.col("bucket")]
+        if fpb > 1:
+            part_cols.append(
+                F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(fpb))
+            )
         # mode=overwrite: a data dir without a manifest is garbage from a
         # crashed attempt — the retry must be able to reclaim it (the
         # manifest rename, not the data write, is the commit point).
         (
-            df.repartition(max(n_files_hint, 1), F.col("bucket"))
+            df.repartition(max(n_files_hint * fpb, 1), *part_cols)
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(out_dir)

@@ -51,14 +51,6 @@ def _payload_cols(df: DataFrame, key_cols, order_cols) -> list[str]:
     return [c for c in df.columns if c not in skip]
 
 
-def _hwm(df: DataFrame) -> tuple[tuple[int, int, int], int]:
-    row = df.agg(
-        F.max(F.struct("ts_t", "ts_i", "seq")).alias("m"), F.count("*").alias("n")
-    ).collect()[0]
-    m = row["m"]
-    return ((m["ts_t"], m["ts_i"], m["seq"]) if m else schemas.ZERO_TOKEN, row["n"])
-
-
 def apply_epoch(
     events: DataFrame,
     lake: ParquetLakeTable,
@@ -71,18 +63,37 @@ def apply_epoch(
     """The per-micro-batch body shared by both modes: LWW-resolve the
     events, MERGE into the lake (idempotent on epoch_key), then record
     the bookmark. ≙ TailerManager.flushAll (tailer_manager.go:71-91)
-    with the token advanced only after a durable apply."""
+    with the token advanced only after a durable apply.
+
+    One scan + one shuffle over the raw events: the resolved winners
+    (persisted, one small row per key) also carry per-key raw counts,
+    so the HWM and lineage counts come from the winners — the global
+    max event is necessarily its own key's winner, so
+    max(winners.order) == max(events.order)."""
     t0 = time.time()
     events = events.drop("segment") if "segment" in events.columns else events
-    hwm, n_events = _hwm(events)
     resolved = lww_resolve(
         events,
         cfg.key_cols,
         cfg.order_cols,
         _payload_cols(events, cfg.key_cols, cfg.order_cols),
         salt_partitions=cfg.salt_partitions,
+        count_col="_n_events",
+    ).persist()
+    row = resolved.agg(
+        F.max(F.struct("ts_t", "ts_i", "seq")).alias("m"),
+        F.sum("_n_events").alias("n"),
+    ).collect()[0]
+    hwm = (
+        (row["m"]["ts_t"], row["m"]["ts_i"], row["m"]["seq"])
+        if row["m"]
+        else schemas.ZERO_TOKEN
     )
-    stats = lake.apply_batch(resolved, epoch_key=epoch_key, order_cols=cfg.order_cols)
+    n_events = row["n"] or 0
+    stats = lake.apply_batch(
+        resolved.drop("_n_events"), epoch_key=epoch_key, order_cols=cfg.order_cols
+    )
+    resolved.unpersist()
     dt = time.time() - t0
     bookmarks.record(
         BookmarkRow(

@@ -1,0 +1,168 @@
+"""Training-data operator tests: text analysis, dedup, similarity,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_cdc_spark.functions.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from go_cdc_spark.functions.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+from go_cdc_spark.functions.similarity import (
+    brute_force_topk,
+    lsh_ann_topk,
+    near_dup_by_cosine,
+)
+from go_cdc_spark.functions.text import fingerprint, lang_id, quality_features, token_count
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! This is fine."), (2, "   "), (3, "one")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r.asDict() for r in quality_features(df).collect()}
+    assert out[1]["n_tokens"] == 5 and out[2]["n_tokens"] == 0 and out[3]["n_tokens"] == 1
+    assert out[1]["punct_per_100_chars"] > 0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "der hund und die katze ist hier"),
+            (3, "le chat et la maison est grande"),
+            (4, "el perro y los gatos es aqui"),
+            (5, "这是一个中文句子"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["g"] for r in df.select("doc_id", lang_id(F.col("text")).alias("g")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh"}
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b c"), (2, "A b C"), (3, "unique doc"), (4, "a b c")],
+        ["doc_id", "text"],
+    )
+    groups = exact_duplicates(df).collect()
+    sizes = sorted(g["group_size"] for g in groups)
+    assert sizes == [1, 3]  # whitespace/case-normalized dupes collapse
+    kept = dedup_exact(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark makes big data simple and fast"),
+            (2, "spark makes big data simple and cheap"),
+            (3, "completely different words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = jaccard_pairs(df, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["doc_a"], pairs[0]["doc_b"]) == (1, 2)
+    assert abs(pairs[0]["jaccard"] - 6 / 8) < 1e-6
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base.replace("today", "tomorrow")), (3, "zebra " * 12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(df, n_hashes=64, bands=16, threshold=0.4).collect()
+    found = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    assert (1, 2) in found and (1, 3) not in found
+    # determinism: second run identical
+    pairs2 = minhash_lsh_pairs(df, n_hashes=64, bands=16, threshold=0.4).collect()
+    assert sorted(map(str, pairs)) == sorted(map(str, pairs2))
+
+
+def test_simhash_near_pairs(spark):
+    words = [f"word{i}" for i in range(60)]
+    rows = [
+        (1, " ".join(words)),
+        (2, " ".join(words[:-1] + ["zzz"])),  # one-token edit: hamming ≈ 2
+        (3, " ".join(f"other{i}" for i in range(60))),  # hamming ≈ 33
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = simhash_near_pairs(df, max_hamming=8).collect()
+    found = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    assert (1, 2) in found and (1, 3) not in found
+
+
+def test_brute_force_topk_against_numpy(spark):
+    emb = spark.read.parquet(EMB)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = brute_force_topk(emb, queries, k=5).toPandas()
+    # numpy oracle
+    pdf = emb.toPandas().sort_values("vec_id")
+    M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    for qi in range(3):
+        sims = Mn @ Mn[ids == qi].T
+        sims = sims.ravel()
+        order = np.lexsort((ids, -sims))
+        expect = [int(ids[j]) for j in order if ids[j] != qi][:5]
+        mine = got[got.query_id == qi].sort_values("rank")["neighbor_id"].tolist()
+        assert mine == expect, f"query {qi}: {mine} vs {expect}"
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(EMB).cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+    # the synthetic embeddings are near-random (top-5 cos ≈ 0.36), so
+    # short signatures + several tables is the right operating point
+    approx = lsh_ann_topk(emb, queries, k=5, n_bits=4, n_tables=8).toPandas()
+    # recall@5 over the 20 queries: LSH with 6 bits on 500 vecs should
+    # recover a healthy fraction; this is a sanity floor, not a tuning
+    hits = 0
+    for qi in exact.query_id.unique():
+        e = set(exact[exact.query_id == qi].neighbor_id)
+        a = set(approx[approx.query_id == qi].neighbor_id)
+        hits += len(e & a) / max(len(e), 1)
+    recall = hits / exact.query_id.nunique()
+    assert recall > 0.6, f"recall {recall}"
+    emb.unpersist()
+
+
+def test_near_dup_cosine_symmetric_threshold(spark):
+    emb = spark.read.parquet(EMB)
+    pairs = near_dup_by_cosine(emb.limit(200), threshold=0.9)
+    for p in pairs.collect():
+        assert p["doc_a"] < p["doc_b"] and p["cos_sim"] >= 0.9
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, 50)
+    assert media.schema["meta"].dataType.fieldNames() == [
+        "width", "height", "sample_rate", "n_frames", "mime"]
+    feats = extract_features(media, codec="fake").collect()
+    assert len(feats) == 50
+    assert all(len(r["features"]) == 16 for r in feats)
+    # determinism
+    feats2 = extract_features(synthetic_media(spark, 50), codec="fake").collect()
+    assert {r["media_id"]: r["payload_sha"] for r in feats} == {
+        r["media_id"]: r["payload_sha"] for r in feats2
+    }
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        extract_features(media, codec="real").collect()
+    plan = frame_sample_plan(media, every_n=30)
+    assert plan.filter("frame_idx % 30 != 0").count() == 0
