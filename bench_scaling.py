@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north_rule (≥0.8 from N to 4N).
+
+No real cluster exists in this sandbox, so the same replay job runs at
+two parallelism levels — local[N] and local[4N] (default 8 and 32) —
+on the SAME generated oplog, in separate JVMs. Reported:
+
+  throughput_N, throughput_4N, efficiency = T_N / (4 * T_4N)
+
+Methodology notes (documented in BENCH/BASELINE.md):
+- Data lives on tmpfs (/dev/shm) by default. On a real cluster every
+  executor brings its own disks, so aggregate I/O bandwidth scales
+  with the executor count; in this single-VM sandbox one virtio disk
+  serves all 32 threads and saturates below 8 threads, which would
+  measure the disk, not the engine. tmpfs models per-node-scaled
+  storage. Set --data-dir to force a disk path.
+- Each worker replays a small warmup log through the FULL pipeline
+  before the timer so JVM JIT + whole-stage-codegen compilation is
+  excluded (it is a constant, not a per-byte cost).
+
+Usage:
+  python bench_scaling.py                 # orchestrates both levels
+  python bench_scaling.py --events 4000000 --levels 8,32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int, local_dir: str | None = None):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .appName(f"go_cdc_scaling_{cpus}")
+    )
+    if local_dir:
+        # shuffle/spill on the same medium as the data: on a cluster every
+        # executor has local shuffle disks; one shared virtio disk here
+        # would serialize all levels behind writeback (measured: 2-4x noise)
+        b = b.config("spark.local.dir", local_dir)
+    return b.getOrCreate()
+
+
+def generate(log_dir: str, n_events: int) -> None:
+    from go_cdc_spark.genlog import LogSpec, write_segments
+
+    spark = build_spark(8, os.path.join(os.path.dirname(log_dir), "spark-local"))
+    spark.sparkContext.setLogLevel("ERROR")
+    spec = LogSpec(
+        n_events=n_events,
+        n_repos=max(n_events // 2000, 50),
+        n_paths=200,
+        n_commits=50,
+        hot_pct=30,
+        dup_every=997,
+        segment_events=max(n_events // 8, 1),
+        seed=42,
+    )
+    write_segments(spark, spec, log_dir)
+    spark.stop()
+
+
+def worker(cpus: int, log_dir: str, n_buckets: int, data_root: str) -> None:
+    from go_cdc_spark import schemas
+    from go_cdc_spark.config import PipelineConfig
+    from go_cdc_spark.genlog import LogSpec, write_segments
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+    from go_cdc_spark.streaming.replay import replay_chunked
+
+    spark = build_spark(cpus, os.path.join(data_root, f"spark-local-{cpus}"))
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp(prefix=f"go_cdc_scale_{cpus}_", dir=data_root)
+    try:
+        # Full-pipeline warmup with the SAME plan shapes as the timed
+        # run, outside the timer. Must be big enough to push the hot
+        # loops through C2 JIT — measured: a cold JVM pays ~3x on the
+        # first full replay, and a 50k-row warmup does not amortize it.
+        warm_cfg = PipelineConfig(
+            f"warm{cpus}", f"{d}/warmlog", f"{d}/warmtable", f"{d}/warmbm",
+            n_buckets=n_buckets,
+        )
+        write_segments(
+            spark,
+            LogSpec(n_events=1_000_000, segment_events=125_000, hot_pct=30,
+                    dup_every=997, n_repos=500, seed=7),
+            warm_cfg.source_log_path,
+        )
+        ParquetLakeTable.create(
+            spark, warm_cfg.table_root, schemas.TABLE_SCHEMA, warm_cfg.key_cols, n_buckets
+        )
+        replay_chunked(spark, warm_cfg, chunk_segments=4)
+
+        cfg = PipelineConfig(
+            f"scale{cpus}", log_dir, f"{d}/table", f"{d}/bm", n_buckets=n_buckets
+        )
+        ParquetLakeTable.create(
+            spark, cfg.table_root, schemas.TABLE_SCHEMA, cfg.key_cols, cfg.n_buckets
+        )
+        t0 = time.time()
+        results = replay_chunked(spark, cfg, chunk_segments=4)
+        dt = time.time() - t0
+        events = sum(r.events for r in results)
+        print(
+            "WORKER_RESULT "
+            + json.dumps(
+                {"cpus": cpus, "seconds": round(dt, 3), "events": events,
+                 "events_per_sec": round(events / dt, 1), "epochs": len(results)}
+            )
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "4000000")))
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--worker-cpus", type=int, default=None)
+    ap.add_argument("--log-dir", default=None)
+    ap.add_argument(
+        "--data-dir",
+        default="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        help="where log+lake live (tmpfs by default — see methodology note)",
+    )
+    args = ap.parse_args()
+
+    if args.worker_cpus:
+        worker(args.worker_cpus, args.log_dir, args.n_buckets, args.data_dir or tempfile.gettempdir())
+        return
+
+    levels = [int(x) for x in args.levels.split(",")]
+    d = tempfile.mkdtemp(prefix="go_cdc_scaling_", dir=args.data_dir)
+    try:
+        log_dir = os.path.join(d, "log")
+        generate(log_dir, args.events)
+        results = {}
+        for cpus in levels:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker-cpus", str(cpus),
+                 "--log-dir", log_dir, "--n-buckets", str(args.n_buckets),
+                 "--data-dir", d],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = next(
+                (ln for ln in out.stdout.splitlines() if ln.startswith("WORKER_RESULT ")),
+                None,
+            )
+            if line is None:
+                sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+                raise RuntimeError(f"worker local[{cpus}] failed")
+            results[cpus] = json.loads(line[len("WORKER_RESULT "):])
+        lo, hi = min(levels), max(levels)
+        ratio = hi / lo
+        eff = results[lo]["seconds"] / (ratio * results[hi]["seconds"])
+        print(
+            json.dumps(
+                {
+                    "metric": "replay_scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": f"T{lo}/({int(ratio)}*T{hi})",
+                    "events": args.events,
+                    "levels": {str(k): v for k, v in results.items()},
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

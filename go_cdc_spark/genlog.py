@@ -49,6 +49,7 @@ class LogSpec:
     dup_every: int = 0  # every k-th event also emitted twice (0 = off)
     events_per_second: int = 1000  # ts_i wraps at this
     segment_events: int = 2_000  # events per oplog segment
+    files_per_segment: int = 8  # parquet files per segment dir (scan splits)
     evolve_from_segment: int | None = None  # segments >= this gain content_sha
     content_pad: int = 64  # min content length (payload size knob)
     base_ts: int = 1_700_000_000
@@ -141,23 +142,27 @@ def write_segments(spark: SparkSession, spec: LogSpec, out_dir: str) -> int:
         "segment", (F.col("seq") / F.lit(spec.segment_events)).cast("long")
     )
     n_segments = (spec.n_events + spec.segment_events - 1) // spec.segment_events
+    # several files per segment dir ⇒ the replay scan has enough input
+    # splits to saturate wide clusters (a real oplog lands as many
+    # small files per poll window anyway)
+    fps = max(spec.files_per_segment, 1)
+    sub = F.pmod(F.xxhash64("seq", F.lit(spec.seed)), F.lit(fps))
+
+    def _write(d, mode):
+        d.repartition(int(n_segments * fps), "segment", sub).write.partitionBy(
+            "segment"
+        ).mode(mode).parquet(out_dir)
 
     evolve_at = spec.evolve_from_segment
     if evolve_at is None:
-        df.repartition("segment").write.partitionBy("segment").mode(
-            "overwrite"
-        ).parquet(out_dir)
+        _write(df, "overwrite")
     else:
         old = df.filter(F.col("segment") < evolve_at)
         new = df.filter(F.col("segment") >= evolve_at).withColumn(
             "content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
         )
-        old.repartition("segment").write.partitionBy("segment").mode(
-            "overwrite"
-        ).parquet(out_dir)
-        new.repartition("segment").write.partitionBy("segment").mode(
-            "append"
-        ).parquet(out_dir)
+        _write(old, "overwrite")
+        _write(new, "append")
     return n_segments
 
 

@@ -10,9 +10,18 @@ i.e. ``MERGE INTO t USING batch ON key
        WHEN MATCHED AND op='d' THEN DELETE
        WHEN MATCHED THEN UPDATE SET *
        WHEN NOT MATCHED AND op!='d' THEN INSERT *``
-(SURVEY §2 O7-O11). Implemented as union + LWW re-reduce where current
-rows carry an order tuple smaller than every event's, so any batch row
-beats the stored row — one shuffle, no join, fully codegen'd.
+(SURVEY §2 O7-O11) — upgraded to *order-aware* LWW: stored rows keep
+their event-order tuple (ts_t, ts_i, seq) and deletes persist as
+tombstones, so a stored row only loses to a batch event that is
+actually NEWER. The reference gets ordering for free from
+single-threaded in-order apply (query_generator.go:78-85); a
+distributed replay cannot assume that — micro-batches may split a
+poll window, arrive out of order across epochs, or re-deliver — so
+the order tuple must live in the table. (This is the same design as
+Cassandra LWW cells / Delta CDF appliers.)
+
+Implemented as union + LWW re-reduce: one shuffle, no join, fully
+codegen'd.
 """
 
 from __future__ import annotations
@@ -32,32 +41,32 @@ def merge_resolved(
     order_cols: Sequence[str],
     payload_cols: Sequence[str],
 ) -> DataFrame:
-    """Merge a LWW-resolved batch into the current table state.
+    """Merge a LWW-resolved batch into the current *internal* state.
 
-    ``current``: key_cols + payload_cols (table rows).
+    ``current``: key_cols + order_cols + op + payload_cols (stored
+    rows incl. tombstones; legacy inputs without order_cols/op are
+    stamped with order=-1 / op='u', i.e. "lose to any event").
     ``resolved_batch``: key_cols + order_cols + op + payload_cols
     (output of lww_resolve — one row per key).
-    Returns the new table state: key_cols + payload_cols.
+    Returns the new internal state (one row per key, tombstones
+    retained with op='d'). Filter ``op != 'd'`` for the live view.
     """
+    cur_cols = set(current.columns)
+    for c in order_cols:
+        if c not in cur_cols:
+            current = current.withColumn(c, F.lit(-1).cast("long"))
+    if "op" not in cur_cols:
+        current = current.withColumn("op", F.lit(schemas.UPDATE_OP))
     cur = current.select(
-        *key_cols,
-        # order tuple strictly below any real event ⇒ stored row loses
-        # to any batch event for the same key (update-as-replace).
-        F.lit(-1).cast("long").alias(order_cols[0]),
-        *[F.lit(-1).cast("long").alias(c) for c in order_cols[1:]],
-        F.lit(schemas.UPDATE_OP).alias("op"),
-        *payload_cols,
+        *key_cols, *[F.col(c).cast("long") for c in order_cols], "op", *payload_cols
     )
     batch = resolved_batch.select(
         *key_cols, *[F.col(c).cast("long") for c in order_cols], "op", *payload_cols
     )
-    merged = lww_resolve(
+    return lww_resolve(
         cur.unionByName(batch),
         key_cols,
         order_cols,
         payload_cols,
         validate=False,  # batch already validated at resolve time
     )
-    # Winner op 'd' ⇒ key deleted (delete-if-present); a 'd' winning over
-    # an absent key is the reference's silent no-op DeleteOne.
-    return merged.filter(F.col("op") != schemas.DELETE_OP).select(*key_cols, *payload_cols)

@@ -145,7 +145,13 @@ def from_token(df: DataFrame, token: tuple[int, int, int]) -> DataFrame:
     ``>=`` re-read is also safe.
     """
     t, i, s = token
-    return df.filter(
-        F.struct(F.col("ts_t"), F.col("ts_i"), F.col("seq"))
-        > F.struct(F.lit(t).cast("long"), F.lit(i).cast("long"), F.lit(s).cast("long"))
+    exact = F.struct(F.col("ts_t"), F.col("ts_i"), F.col("seq")) > F.struct(
+        F.lit(t).cast("long"), F.lit(i).cast("long"), F.lit(s).cast("long")
     )
+    # Struct comparisons don't push into parquet scans; conjoin the
+    # redundant coarse bound `ts_t >= t` (implied by the tuple compare)
+    # so Catalyst pushes it down and row groups before the token are
+    # skipped via column statistics — the scale lever for resuming deep
+    # into a 10^10-event log.
+    coarse = F.col("ts_t") >= F.lit(t).cast("long")
+    return df.filter(coarse & exact)

@@ -30,6 +30,14 @@ Layout::
 - Additive schema evolution: the manifest carries the table schema;
   batches with extra nullable payload columns widen it, and old data
   files are null-padded at read (go_cdc_spark/evolve.py).
+- Order-aware rows: data files physically store the event-order tuple
+  (ts_t, ts_i, seq) + op alongside the payload, and deletes persist as
+  tombstones. MERGE therefore tolerates out-of-order and re-delivered
+  micro-batches — a stored row only loses to a strictly newer event,
+  and a tombstone shields a deleted key from resurrection by a late
+  older event. ``read()`` exposes the live logical view (tombstones
+  filtered, internal columns dropped); ``read(internal=True)`` is the
+  MERGE-side view.
 """
 
 from __future__ import annotations
@@ -62,6 +70,26 @@ def bucket_expr(key_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
 
 
+def internal_schema(
+    logical: T.StructType, key_cols: list[str], order_cols: list[str]
+) -> T.StructType:
+    """Physical row layout: keys, order tuple, op, payload.
+
+    The order tuple + op persist in the data files so MERGE is
+    order-aware (out-of-order / re-delivered micro-batches are safe)
+    and deletes survive as tombstones instead of erasing the ordering
+    information a later-arriving older event would need to lose to.
+    """
+    keys = [f for f in logical.fields if f.name in set(key_cols)]
+    payload = [f for f in logical.fields if f.name not in set(key_cols)]
+    return T.StructType(
+        keys
+        + [T.StructField(c, T.LongType(), True) for c in order_cols]
+        + [T.StructField("op", T.StringType(), True)]
+        + payload
+    )
+
+
 class ParquetLakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -79,6 +107,7 @@ class ParquetLakeTable:
         key_cols: list[str],
         n_buckets: int,
         files_per_bucket: int = 1,
+        order_cols: list[str] = schemas.ORDER_COLS,
     ) -> "ParquetLakeTable":
         t = cls(spark, root)
         os.makedirs(t._commits_dir, exist_ok=True)
@@ -89,6 +118,7 @@ class ParquetLakeTable:
                     "epoch_key": "__create__",
                     "schema": schema.json(),
                     "key_cols": key_cols,
+                    "order_cols": list(order_cols),
                     "n_buckets": n_buckets,
                     # >1 splits each bucket dir into several files so a
                     # 100 TB table's multi-GB buckets are written (and
@@ -147,6 +177,10 @@ class ParquetLakeTable:
     def n_buckets(self) -> int:
         return self.manifest()["n_buckets"]
 
+    @property
+    def order_cols(self) -> list[str]:
+        return self.manifest().get("order_cols", schemas.ORDER_COLS)
+
     def committed_epochs(self) -> set[str]:
         return set(self.manifest()["epochs"])
 
@@ -157,11 +191,23 @@ class ParquetLakeTable:
 
     # ---------- read ----------
 
-    def read(self, buckets: list[int] | None = None, manifest: dict | None = None) -> DataFrame:
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        manifest: dict | None = None,
+        internal: bool = False,
+    ) -> DataFrame:
         """Read current table state; ``buckets`` prunes to those buckets
-        (path-level pruning — the scan never sees other buckets)."""
+        (path-level pruning — the scan never sees other buckets).
+
+        ``internal=True`` returns the physical rows (keys + order tuple
+        + op + payload, tombstones included) — what MERGE needs; the
+        default is the live logical view (tombstones filtered, order
+        columns dropped)."""
         m = manifest or self.manifest()
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        logical = T.StructType.fromJson(json.loads(m["schema"]))
+        order_cols = m.get("order_cols", schemas.ORDER_COLS)
+        schema = internal_schema(logical, m["key_cols"], order_cols)
         pointers = m["buckets"]
         if buckets is not None:
             wanted = {str(b) for b in buckets}
@@ -177,11 +223,16 @@ class ParquetLakeTable:
             df = self.spark.read.option("basePath", base).parquet(*paths).drop("bucket")
             parts.append(align_to_schema(df, schema))
         if not parts:
-            return self.spark.createDataFrame([], schema=schema)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            out = self.spark.createDataFrame([], schema=schema)
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if internal:
+            return out
+        return out.filter(
+            F.coalesce(F.col("op"), F.lit("")) != schemas.DELETE_OP
+        ).select(*[f.name for f in logical.fields])
 
     # ---------- write paths ----------
 
@@ -204,14 +255,25 @@ class ParquetLakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
-        try:
-            written = self.spark.read.parquet(out_dir)
-        except Exception:  # zero rows written (e.g. batch deleted everything)
-            return {}
-        counts = {
-            int(r["bucket"]): r["n"]
-            for r in written.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-        }
+        # exact per-bucket counts from parquet footer metadata — driver-side
+        # file stats, no Spark job (the read-back scan was a measurable
+        # serial cost per epoch)
+        import pyarrow.parquet as pq
+
+        counts: dict[int, int] = {}
+        if not os.path.isdir(out_dir):
+            return counts
+        for name in os.listdir(out_dir):
+            if not name.startswith("bucket="):
+                continue
+            b = int(name.split("=", 1)[1])
+            n = 0
+            bdir = os.path.join(out_dir, name)
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+            if n:
+                counts[b] = n
         return counts
 
     def overwrite(self, df: DataFrame, epoch_key: str) -> CommitStats:
@@ -220,9 +282,24 @@ class ParquetLakeTable:
         m = self.manifest()
         if epoch_key in m["epochs"]:
             return CommitStats(m["version"], epoch_key, applied=False)
-        schema = union_schema(self.schema, df.schema)
+        order_cols = m.get("order_cols", schemas.ORDER_COLS)
+        internal = set(order_cols) | {"op", "bucket"}
+        schema = union_schema(
+            self.schema,
+            T.StructType([f for f in df.schema.fields if f.name not in internal]),
+        )
         version = m["version"] + 1
-        data = align_to_schema(df, schema).withColumn(
+        # snapshot rows carry their creation stamp when the source has
+        # one (≙ dumper.go:85 stamping the token from createdAt), else
+        # order=-1: "older than any replayed event".
+        phys = internal_schema(schema, self.key_cols, order_cols)
+        data = align_to_schema(df, phys)
+        if "op" not in df.columns:
+            data = data.withColumn("op", F.lit(schemas.UPDATE_OP))
+        for c in order_cols:
+            if c not in df.columns:
+                data = data.withColumn(c, F.lit(-1).cast("long"))
+        data = data.select(*[f.name for f in phys.fields]).withColumn(
             "bucket", bucket_expr(self.key_cols, self.n_buckets)
         )
         counts = self._write_version_data(data, version, self.n_buckets)
@@ -246,11 +323,14 @@ class ParquetLakeTable:
         resolved: DataFrame,
         epoch_key: str,
         order_cols: list[str] = schemas.ORDER_COLS,
+        affected: list[int] | None = None,
     ) -> CommitStats:
         """MERGE one LWW-resolved batch (one row per key, with ``op``).
 
         Copy-on-write on affected buckets only; exactly-once via the
-        epoch check + atomic manifest rename.
+        epoch check + atomic manifest rename. Pass ``affected`` (the
+        batch's distinct bucket ids) when the caller already computed
+        them — saves one job per epoch.
         """
         m = self.manifest()
         if epoch_key in m["epochs"]:
@@ -262,7 +342,7 @@ class ParquetLakeTable:
             [
                 f
                 for f in resolved.schema.fields
-                if f.name not in set(key_cols) | set(order_cols) | {"op"}
+                if f.name not in set(key_cols) | set(order_cols) | {"op", "bucket"}
             ]
         )
         new_schema = union_schema(
@@ -273,11 +353,17 @@ class ParquetLakeTable:
         )
         payload = self.payload_cols(new_schema)
 
-        batch = resolved.withColumn("bucket", bucket_expr(key_cols, self.n_buckets))
-        # Affected-bucket set: tiny (≤ n_buckets ints), safe to collect.
-        affected = sorted(
-            r["bucket"] for r in batch.select("bucket").distinct().collect()
-        )
+        if "bucket" in resolved.columns:
+            batch = resolved
+        else:
+            batch = resolved.withColumn("bucket", bucket_expr(key_cols, self.n_buckets))
+        if affected is None:
+            # Affected-bucket set: tiny (≤ n_buckets ints), safe to collect.
+            affected = sorted(
+                r["bucket"] for r in batch.select("bucket").distinct().collect()
+            )
+        else:
+            affected = sorted(affected)
         if not affected:  # empty batch still commits the epoch (≙ empty poll)
             version = m["version"] + 1
             self._write_manifest(
@@ -285,7 +371,8 @@ class ParquetLakeTable:
             )
             return CommitStats(version, epoch_key, True)
 
-        current = self.read(buckets=affected, manifest=m)
+        current = self.read(buckets=affected, manifest=m, internal=True)
+        phys = internal_schema(new_schema, key_cols, order_cols)
         batch_aligned = batch.drop("bucket")
         for f in new_schema.fields:  # null-pad payload cols the batch lacks
             if f.name not in batch_aligned.columns:
@@ -293,7 +380,7 @@ class ParquetLakeTable:
                     f.name, F.lit(None).cast(f.dataType)
                 )
         merged = merge_resolved(
-            align_to_schema(current, new_schema), batch_aligned, key_cols, order_cols, payload
+            align_to_schema(current, phys), batch_aligned, key_cols, order_cols, payload
         ).withColumn("bucket", bucket_expr(key_cols, self.n_buckets))
 
         version = m["version"] + 1

@@ -35,10 +35,12 @@ def run_snapshot(
     ).collect()[0]["m"]
     token = (hwm["ts_t"], hwm["ts_i"], hwm["seq"]) if hwm else schemas.ZERO_TOKEN
 
+    # Pass the per-row creation stamps (ts_t, ts_i, seq) through: the
+    # sink stores them so a replayed boundary event (the deliberate
+    # snapshot/tail overlap, SURVEY §2.2-4) merges order-aware instead
+    # of blindly overwriting.
     table_cols = [f.name for f in lake.schema.fields]
-    extra = [
-        c for c in source_df.columns if c not in table_cols + ["ts_t", "ts_i", "seq", "op"]
-    ]
+    extra = [c for c in source_df.columns if c not in table_cols + ["op"]]
     stats = lake.overwrite(
         source_df.select(*table_cols, *extra), epoch_key=f"snapshot-{epoch}"
     )

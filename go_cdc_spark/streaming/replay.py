@@ -70,28 +70,40 @@ def apply_epoch(
     so the HWM and lineage counts come from the winners — the global
     max event is necessarily its own key's winner, so
     max(winners.order) == max(events.order)."""
+    from go_cdc_spark.sinks.lake import bucket_expr
+
     t0 = time.time()
     events = events.drop("segment") if "segment" in events.columns else events
-    resolved = lww_resolve(
-        events,
-        cfg.key_cols,
-        cfg.order_cols,
-        _payload_cols(events, cfg.key_cols, cfg.order_cols),
-        salt_partitions=cfg.salt_partitions,
-        count_col="_n_events",
-    ).persist()
-    row = resolved.agg(
-        F.max(F.struct("ts_t", "ts_i", "seq")).alias("m"),
-        F.sum("_n_events").alias("n"),
-    ).collect()[0]
-    hwm = (
-        (row["m"]["ts_t"], row["m"]["ts_i"], row["m"]["seq"])
-        if row["m"]
-        else schemas.ZERO_TOKEN
+    resolved = (
+        lww_resolve(
+            events,
+            cfg.key_cols,
+            cfg.order_cols,
+            _payload_cols(events, cfg.key_cols, cfg.order_cols),
+            salt_partitions=cfg.salt_partitions,
+            count_col="_n_events",
+        )
+        .withColumn("bucket", bucket_expr(cfg.key_cols, lake.n_buckets))
+        .persist()
     )
-    n_events = row["n"] or 0
+    # ONE driver round-trip (≤ n_buckets rows) yields the affected-bucket
+    # set, the epoch HWM, and per-bucket raw-event lineage counts — the
+    # global max event is necessarily its own key's winner.
+    per_bucket = resolved.groupBy("bucket").agg(
+        F.max(F.struct(*cfg.order_cols)).alias("m"),
+        F.sum("_n_events").alias("n"),
+    ).collect()
+    if per_bucket:
+        hwm = max(tuple(r["m"][c] for c in cfg.order_cols) for r in per_bucket)
+        n_events = sum(r["n"] for r in per_bucket)
+        affected = [r["bucket"] for r in per_bucket]
+    else:
+        hwm, n_events, affected = schemas.ZERO_TOKEN, 0, []
     stats = lake.apply_batch(
-        resolved.drop("_n_events"), epoch_key=epoch_key, order_cols=cfg.order_cols
+        resolved.drop("_n_events"),
+        epoch_key=epoch_key,
+        order_cols=cfg.order_cols,
+        affected=affected,
     )
     resolved.unpersist()
     dt = time.time() - t0

@@ -75,7 +75,10 @@ def test_delete_everything_empties_table(spark, tmpdir_path):
     t.apply_batch(_resolved(spark, [_row("i", i, (f"r{i}", "p", "c")) for i in range(10)]), "e1")
     t.apply_batch(_resolved(spark, [_row("d", 100 + i, (f"r{i}", "p", "c")) for i in range(10)]), "e2")
     assert t.read().count() == 0
-    assert t.manifest()["buckets"] == {}
+    # deletes persist as tombstones (order-aware shield against
+    # out-of-order resurrection), so the buckets stay populated
+    tombs = t.read(internal=True)
+    assert tombs.count() == 10 and tombs.filter("op != 'd'").count() == 0
 
 
 def test_schema_evolution_adds_nullable_column(spark, tmpdir_path):

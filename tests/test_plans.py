@@ -1,0 +1,63 @@
+"""Plan-shape assertions: pushdown, pruning, shuffle budget, codegen.
+
+These lock in the scale properties: a filter that stops reaching the
+scan or an extra shuffle in the LWW path is a perf regression even if
+results stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_cdc_spark import schemas
+from go_cdc_spark.genlog import LogSpec, write_segments
+from go_cdc_spark.operators.resolve import apply_filters, from_token, lww_resolve
+from go_cdc_spark.plans.inspect import (
+    codegen_stage_count,
+    has_pushed_filter,
+    pushed_filters,
+    reads_only_columns,
+    shuffle_count,
+)
+
+K, O, P = schemas.KEY_COLS, schemas.ORDER_COLS, schemas.PAYLOAD_COLS
+
+
+def _log(spark, tmpdir_path):
+    write_segments(spark, LogSpec(n_events=2_000, segment_events=1_000, seed=5), tmpdir_path)
+    return spark.read.parquet(tmpdir_path)
+
+
+def test_config_filter_reaches_scan(spark, tmpdir_path):
+    # ≙ reference pushing filters into Mongo Find (collection.go:52-66)
+    df = apply_filters(_log(spark, tmpdir_path), [("repo", "$eq", "repo_00001")])
+    assert has_pushed_filter(df, "EqualTo(repo,repo_00001)"), pushed_filters(df)
+
+
+def test_token_range_filter_reaches_scan(spark, tmpdir_path):
+    df = from_token(_log(spark, tmpdir_path), (1_700_000_000, 500, 500))
+    # tuple compare decomposes into ts_t >= bound pushed to the scan
+    assert "ts_t" in pushed_filters(df), pushed_filters(df)
+
+
+def test_column_pruning(spark, tmpdir_path):
+    df = _log(spark, tmpdir_path).select("repo", "seq")
+    assert reads_only_columns(df, {"repo", "seq", "segment"})
+
+
+def test_lww_is_single_shuffle_and_codegen(spark, tmpdir_path):
+    df = lww_resolve(_log(spark, tmpdir_path).drop("segment"), K, O, P)
+    assert shuffle_count(df) == 1, "LWW reduce must be exactly one shuffle"
+    assert codegen_stage_count(df) >= 1
+
+
+def test_salted_lww_is_two_shuffles(spark, tmpdir_path):
+    df = lww_resolve(_log(spark, tmpdir_path).drop("segment"), K, O, P, salt_partitions=8)
+    assert shuffle_count(df) == 2, "salted reduce = partial + final shuffle"
+
+
+def test_events_query_filter_pushdown(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    q = ev.filter((ev.event_type == "click") & (ev.value >= 250.0)).select("event_id")
+    pf = pushed_filters(q)
+    assert "EqualTo(event_type,click)" in pf and "GreaterThanOrEqual(value,250.0)" in pf
+    assert reads_only_columns(q, {"event_id", "event_type", "value"})

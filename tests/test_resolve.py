@@ -91,8 +91,32 @@ def test_merge_resolved_applies_iud(spark):
     )
     resolved = lww_resolve(batch, KEYS, ORDER, PAYLOAD)
     out = merge_resolved(current, resolved, KEYS, ORDER, PAYLOAD)
-    got = {(r["repo"], r["content"]) for r in out.collect()}
+    live = out.filter("op != 'd'")
+    got = {(r["repo"], r["content"]) for r in live.collect()}
     assert got == {("r1", "new"), ("r3", "ins")}
+    # deletes persist as tombstones carrying their order tuple
+    tomb = {(r["repo"], r["seq"]) for r in out.filter("op = 'd'").collect()}
+    assert tomb == {("r2", 11), ("r4", 13)}
+
+
+def test_merge_is_order_aware(spark):
+    """An OLDER event arriving in a later batch must lose to the stored
+    row — micro-batches may split a poll window out of order."""
+    current = spark.createDataFrame(
+        [("r1", "p1", "c1", 1_700_000_099, 50, 50, "u", "py", "newer")],
+        schema="repo string, path string, commit string, ts_t long, ts_i long, seq long, op string, lang string, content string",
+    )
+    batch = _mk(spark, [_row("u", 10, key=("r1", "p1", "c1"), content="stale")])
+    out = merge_resolved(current, lww_resolve(batch, KEYS, ORDER, PAYLOAD), KEYS, ORDER, PAYLOAD)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["content"] == "newer"
+    # and a delete tombstone shields against resurrection by older events
+    cur2 = spark.createDataFrame(
+        [("r1", "p1", "c1", 1_700_000_099, 50, 50, "d", None, None)],
+        schema="repo string, path string, commit string, ts_t long, ts_i long, seq long, op string, lang string, content string",
+    )
+    out2 = merge_resolved(cur2, lww_resolve(batch, KEYS, ORDER, PAYLOAD), KEYS, ORDER, PAYLOAD)
+    assert out2.filter("op != 'd'").count() == 0
 
 
 def test_filters_and_token(spark):
