@@ -116,3 +116,30 @@ def test_streaming_replay_matches_oracle(spark, tmpdir_path):
     q.awaitTermination(120)
     lake = ParquetLakeTable.load(spark, cfg.table_root)
     assert _fingerprint(lake) == _oracle_fp(spark, cfg.source_log_path)
+
+
+def test_streaming_kill_then_resume_from_checkpoint(spark, tmpdir_path):
+    """Stop the stream mid-log, restart from the same checkpoint: the
+    WAL replays nothing twice (epoch-idempotent commits) and the final
+    state still matches the oracle."""
+    import time
+
+    cfg = _cfg(tmpdir_path, pipeline_id="stream2")
+    spec = LogSpec(n_events=4_000, segment_events=500, seed=31)
+    write_segments(spark, spec, cfg.source_log_path)
+    ParquetLakeTable.create(spark, cfg.table_root, schemas.TABLE_SCHEMA, cfg.key_cols, cfg.n_buckets)
+    q = replay_streaming(spark, cfg, max_files_per_trigger=4, available_now=True)
+    deadline = time.time() + 120
+    while time.time() < deadline:  # kill after the first batch commits
+        lake = ParquetLakeTable.load(spark, cfg.table_root)
+        if any(k.startswith("stream-") for k in lake.committed_epochs()):
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    mid_epochs = ParquetLakeTable.load(spark, cfg.table_root).committed_epochs()
+    assert any(k.startswith("stream-") for k in mid_epochs)
+    q2 = replay_streaming(spark, cfg, max_files_per_trigger=4, available_now=True)
+    q2.awaitTermination(120)
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    assert _fingerprint(lake) == _oracle_fp(spark, cfg.source_log_path)
