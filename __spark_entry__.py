@@ -185,6 +185,53 @@ def q_cdc_watch_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derived_log(ev: DataFrame) -> DataFrame:
+    """events → engine change-log view. event_id is monotone in ts in
+    this dataset (verified), so (ts, event_id) order ≡ (ts_t=event_id,
+    ts_i=0, seq=event_id)."""
+    return ev.select(
+        _op(ev).alias("op"),
+        F.col("event_id").alias("ts_t"),
+        F.lit(0).cast("long").alias("ts_i"),
+        F.col("event_id").alias("seq"),
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
+def _table_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+
+def q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew path: the same LWW reduce through the salted two-phase
+    formulation (hot monorepo keys, north_rule) — must equal the
+    single-phase oracle exactly (max-struct is a semilattice)."""
+    from go_cdc_spark.operators.resolve import lww_resolve
+
+    r = lww_resolve(
+        _derived_log(_events(spark, sf_dir)),
+        ["user_id"],
+        ["ts_t", "ts_i", "seq"],
+        ["event_type", "value"],
+        salt_partitions=8,
+    )
+    return r.filter(F.col("op") != "d").select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_replay_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-engine end-to-end: derive a change-event log from `events`,
     write it as oplog segments, replay through the real pipeline
@@ -197,20 +244,9 @@ def q_cdc_replay_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_cdc_spark.config import PipelineConfig
     from go_cdc_spark.sinks.lake import ParquetLakeTable
     from go_cdc_spark.streaming.replay import replay_chunked
-    from pyspark.sql import types as T
 
     ev = _events(spark, sf_dir)
-    # event_id is monotone in ts in this dataset (verified), so
-    # (ts, event_id) order ≡ (ts_t=event_id, ts_i=0, seq=event_id)
-    log = ev.select(
-        _op(ev).alias("op"),
-        F.col("event_id").alias("ts_t"),
-        F.lit(0).cast("long").alias("ts_i"),
-        F.col("event_id").alias("seq"),
-        "user_id",
-        "event_type",
-        F.round("value", 2).alias("value"),
-    )
+    log = _derived_log(ev)
     # segments must be ordered seq ranges (one segment ≙ one oplog poll)
     max_id = ev.agg(F.max("event_id")).collect()[0][0]
     log = log.withColumn(
@@ -219,13 +255,7 @@ def q_cdc_replay_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="go_cdc_entry_")
     log_dir = os.path.join(d, "log")
     log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
-    table_schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-        ]
-    )
+    table_schema = _table_schema()
     cfg = PipelineConfig(
         pipeline_id="entry-e2e",
         source_log_path=log_dir,
@@ -239,6 +269,99 @@ def q_cdc_replay_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, cfg.table_root, table_schema, cfg.key_cols, cfg.n_buckets
     )
     replay_chunked(spark, cfg, chunk_segments=1)
+    return lake.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the real engine: the log's
+    later segments carry a new nullable ``value_cents`` column the
+    early segments (and the table) lack. Replay must widen the table
+    mid-stream; rows whose winning event predates the column read as
+    null (north_rule / SURVEY §1.2 contract). Oracle: single-shot
+    replay computing value_cents only for post-split winners."""
+    from go_cdc_spark import schemas
+    from go_cdc_spark.config import PipelineConfig
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+    from go_cdc_spark.streaming.replay import replay_chunked
+
+    ev = _events(spark, sf_dir)
+    split = F.lit(_SPLIT).cast("timestamp_ntz")
+    log = _derived_log(ev)
+    d = tempfile.mkdtemp(prefix="go_cdc_evolve_")
+    log_dir = os.path.join(d, "log")
+    # segment 0 = pre-split (old schema), 1 = post-split (adds column);
+    # event_id monotone in ts ⇒ segments are ordered seq ranges
+    old = log.filter(ev.ts < split).withColumn("segment", F.lit(0))
+    new = (
+        log.filter(ev.ts >= split)
+        .withColumn("value_cents", F.round(F.col("value") * 100).cast("long"))
+        .withColumn("segment", F.lit(1))
+    )
+    old.repartition(4).write.mode("overwrite").parquet(f"{log_dir}/segment=0")
+    new.repartition(4).write.mode("overwrite").parquet(f"{log_dir}/segment=1")
+    cfg = PipelineConfig(
+        pipeline_id="entry-evolve",
+        source_log_path=log_dir,
+        table_root=os.path.join(d, "table"),
+        bookmark_root=os.path.join(d, "bm"),
+        key_cols=["user_id"],
+        order_cols=list(schemas.ORDER_COLS),
+        n_buckets=8,
+    )
+    lake = ParquetLakeTable.create(
+        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
+    )
+    replay_chunked(spark, cfg, chunk_segments=1)
+    return lake.read().select(
+        "user_id", F.col("event_type").alias("last_event_type"), "value_cents"
+    )
+
+
+def q_cdc_snapshot_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full stage machine (Init→Dump→Tail, SURVEY §3.1)
+    through the real engine: snapshot the pre-split live state into the
+    lake (≙ Dumper), then tail the post-split log from the recorded
+    bookmark (≙ TailerManager). Oracle: single-shot replay — the
+    dump-then-tail decomposition must be invisible in the final state
+    (§2.2-4 overlap contract)."""
+    from go_cdc_spark import schemas
+    from go_cdc_spark.config import PipelineConfig
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+    from go_cdc_spark.streaming.replay import run_pipeline
+
+    ev = _events(spark, sf_dir)
+    split = F.lit(_SPLIT).cast("timestamp_ntz")
+    log = _derived_log(ev)
+    prefix = log.filter(ev.ts < split)
+    suffix = log.filter(ev.ts >= split).withColumn("segment", F.lit(0))
+    # source collection state at the split = LWW over the prefix,
+    # deletes dropped, creation stamps kept (≙ createdAt, dumper.go:85)
+    from go_cdc_spark.operators.resolve import lww_resolve
+
+    snap = lww_resolve(
+        prefix, ["user_id"], list(schemas.ORDER_COLS), ["event_type", "value"]
+    ).filter(F.col("op") != "d").drop("op")
+    d = tempfile.mkdtemp(prefix="go_cdc_snaptail_")
+    log_dir = os.path.join(d, "log")
+    suffix.repartition(4).write.mode("overwrite").parquet(f"{log_dir}/segment=0")
+    cfg = PipelineConfig(
+        pipeline_id="entry-snaptail",
+        source_log_path=log_dir,
+        table_root=os.path.join(d, "table"),
+        bookmark_root=os.path.join(d, "bm"),
+        key_cols=["user_id"],
+        order_cols=list(schemas.ORDER_COLS),
+        n_buckets=8,
+    )
+    ParquetLakeTable.create(
+        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
+    )
+    run_pipeline(spark, cfg, source_df=snap, chunk_segments=1)
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
     return lake.read().select(
         "user_id",
         F.col("event_type").alias("last_event_type"),
@@ -337,6 +460,15 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries_df, k=10, n_bits=4, n_tables=8)
 
 
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (approximate by construction)."""
+    from go_cdc_spark.functions.similarity import ivf_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ivf_ann_topk(emb, queries_df, k=10, n_centroids=16, n_probe=6)
+
+
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (binary-column plumbing with stubbed codec)."""
     from go_cdc_spark.functions.multimodal import extract_features, synthetic_media
@@ -365,6 +497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_delete_apply": q_cdc_delete_apply,
         "cdc_watch_threshold": q_cdc_watch_threshold,
         "cdc_replay_pipeline": q_cdc_replay_pipeline,
+        "cdc_lww_salted": q_cdc_lww_salted,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -376,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_bruteforce": q_sim_ann_bruteforce,
         "sim_near_dup_cosine": q_sim_near_dup_cosine,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "mm_features": q_mm_features,
     }
 
@@ -420,6 +556,29 @@ def oracle_sql() -> dict[str, str]:
         # full-engine replay vs single-shot SQL replay (event_id is
         # monotone in ts, so ordering by event_id ≡ (ts, event_id))
         "cdc_replay_pipeline": (
+            f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
+            f"{_OP_SQL} AS op FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
+            "SELECT user_id, event_type AS last_event_type, value AS last_value "
+            "FROM r WHERE rn = 1 AND op <> 'd'"
+        ),
+        "cdc_lww_salted": (
+            f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
+            f"{_OP_SQL} AS op FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
+            "SELECT user_id, event_type AS last_event_type, value AS last_value "
+            "FROM r WHERE rn = 1 AND op <> 'd'"
+        ),
+        "cdc_schema_evolution": (
+            f"WITH ev AS (SELECT user_id, event_id, ts, event_type, round(value,2) AS value, "
+            f"{_OP_SQL} AS op FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
+            "SELECT user_id, event_type AS last_event_type, "
+            f"CASE WHEN ts >= TIMESTAMP '{_SPLIT}' "
+            "THEN CAST(round(value * 100) AS BIGINT) END AS value_cents "
+            "FROM r WHERE rn = 1 AND op <> 'd'"
+        ),
+        "cdc_snapshot_then_tail": (
             f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
             f"{_OP_SQL} AS op FROM events), "
             "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
@@ -494,7 +653,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
             "sqrt(list_dot_product(b.v, b.v))) >= 0.45"
         ),
-        # dedup_minhash_lsh, dedup_simhash, sim_ann_lsh, mm_features:
+        # dedup_minhash_lsh, dedup_simhash, sim_ann_lsh, sim_ann_ivf, mm_features:
         # intentionally omitted — vectorized-UDF / approximate ops get
         # the driver's rows-only check.
     }

