@@ -402,6 +402,20 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_guess"))
 
 
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_cdc_spark.functions.text import bpe_token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (vectorized-UDF rolling-hash op)."""
+    from go_cdc_spark.functions.dedup import winnow_near_pairs
+
+    return winnow_near_pairs(_docs(spark, sf_dir), min_shared=5)
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_cdc_spark.functions.text import fingerprint
 
@@ -504,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "dedup_winnow": q_dedup_winnow,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -517,6 +533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from go_cdc_spark.functions.text import BPE_PATTERN
+
+    bpe_sql = BPE_PATTERN.replace("'", "''")
     live_select = (
         "SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, "
         "round(value, 2) AS last_value FROM r WHERE rn = 1 AND op <> 'd'"
@@ -615,6 +634,10 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": (
             "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp "
             "FROM documents"
+        ),
+        "text_bpe_tokens": (
+            f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{bpe_sql}')) "
+            "AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
         "dedup_exact": (
             "SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, "

@@ -41,7 +41,7 @@ def build_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .appName("go_cdc_spark-bench")
         .getOrCreate()
@@ -54,7 +54,7 @@ def time_query(df) -> float:
     return time.time() - t0
 
 
-def bench_replay(spark, n_events: int) -> tuple[float, dict]:
+def bench_replay(spark, n_events: int, mode: str = "cow") -> tuple[float, dict]:
     """End-to-end: generated oplog (skewed, with duplicates and mid-log
     schema evolution) replayed into a fresh lake table. Generation is
     excluded from the timed window."""
@@ -88,7 +88,8 @@ def bench_replay(spark, n_events: int) -> tuple[float, dict]:
         )
         write_segments(spark, spec, cfg.source_log_path)
         ParquetLakeTable.create(
-            spark, cfg.table_root, schemas.TABLE_SCHEMA, cfg.key_cols, cfg.n_buckets
+            spark, cfg.table_root, schemas.TABLE_SCHEMA, cfg.key_cols,
+            cfg.n_buckets, mode=mode,
         )
         t0 = time.time()
         results = replay_chunked(spark, cfg, chunk_segments=2)
@@ -111,8 +112,10 @@ def main() -> None:
     for name, fn in entry.queries().items():
         timings[name] = round(time_query(fn(spark, SF_DIR)), 3)
 
-    replay_sec, replay_info = bench_replay(spark, REPLAY_EVENTS)
+    replay_sec, replay_info = bench_replay(spark, REPLAY_EVENTS, mode="cow")
     timings["cdc_replay_e2e"] = round(replay_sec, 3)
+    mor_sec, mor_info = bench_replay(spark, REPLAY_EVENTS, mode="mor")
+    timings["cdc_replay_e2e_mor"] = round(mor_sec, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -129,6 +132,11 @@ def main() -> None:
                     replay_info["replay_events"] / replay_sec, 1
                 )
                 if replay_sec
+                else 0.0,
+                "replay_events_per_sec_mor": round(
+                    mor_info["replay_events"] / mor_sec, 1
+                )
+                if mor_sec
                 else 0.0,
             }
         )

@@ -40,6 +40,9 @@ class PipelineConfig:
     # (north_rule). None ⇒ single-phase (map-side partial agg already
     # absorbs most groupBy skew); set to e.g. 16 for pathological keys.
     salt_partitions: int | None = None
+    # Run lake.vacuum() after every N applied epochs (None ⇒ never):
+    # reclaims bucket copies superseded by copy-on-write / compaction.
+    vacuum_every: int | None = None
     # Optional event filters pushed into the scan
     # (≙ OplogCollection.Filters, collection.go:37-50):
     # list of (column, op, value) with op ∈ {=, !=, >, >=, <, <=}.

@@ -225,13 +225,17 @@ def jaccard_pairs(
 # ---------------- MinHash + LSH ----------------
 
 # Deterministic universal-hash parameters: h_i(x) = (a_i*x + b_i) mod p.
-_MERSENNE_P = (1 << 61) - 1
+# p = 2^31−1 (Mersenne) keeps every product a_i*x < 2^62, so the whole
+# (n_hashes × n_shingles) hashing grid stays in vectorized int64 numpy —
+# the previous 61-bit prime forced Python-object bigint arrays, which
+# made signature computation ~20× slower.
+_MERSENNE_P = (1 << 31) - 1
 
 
 def _hash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rs = np.random.RandomState(seed)  # fixed seed ⇒ same planes everywhere
-    a = rs.randint(1, _MERSENNE_P, size=n_hashes, dtype=np.int64).astype(object)
-    b = rs.randint(0, _MERSENNE_P, size=n_hashes, dtype=np.int64).astype(object)
+    a = rs.randint(1, _MERSENNE_P, size=n_hashes, dtype=np.int64)
+    b = rs.randint(0, _MERSENNE_P, size=n_hashes, dtype=np.int64)
     return a, b
 
 
@@ -271,13 +275,14 @@ def minhash_signatures(
                         " ".join(toks[i : i + shingle_len])
                         for i in range(len(toks) - shingle_len + 1)
                     ]
-                # stable 63-bit shingle ids
-                sh = np.array(
-                    [hash_str(s) for s in shingles], dtype=np.int64
-                ).astype(object)
+                # stable shingle ids reduced mod p (int64-safe products)
+                sh = (
+                    np.array([hash_str(s) for s in shingles], dtype=np.int64)
+                    % _MERSENNE_P
+                )
                 # (n_hashes, n_shingles) universal hashing, min over shingles
                 vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE_P
-                sigs.append(np.min(vals, axis=1).astype(np.int64))
+                sigs.append(np.min(vals, axis=1))
                 ids.append(doc_id)
             yield pd.DataFrame({id_col: ids, "signature": [list(map(int, s)) for s in sigs]})
 
@@ -342,6 +347,94 @@ def minhash_lsh_pairs(
         cand.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------- winnowing (rolling-hash fingerprints) ----------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowed rolling-hash fingerprints per doc (the MOSS algorithm,
+    Schleimer et al. SIGMOD'03) — the standard local-similarity
+    fingerprint for source code.
+
+    Per doc: polynomial rolling hash over every char k-gram (base-257,
+    natural uint64 wraparound), then keep the minimum hash of each
+    sliding window of ``window`` consecutive k-grams (rightmost-min
+    tie-break), deduplicated. Guarantees any shared substring of length
+    ≥ k + window − 1 yields a shared fingerprint. All numpy strided ops
+    per Arrow batch — no per-char Python.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+    base = np.uint64(257)
+
+    def compute(it):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        pows = base ** np.arange(k, dtype=np.uint64)[::-1]  # wraps mod 2^64
+        for pdf in it:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                b = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                if len(b) < k:
+                    continue
+                grams = sliding_window_view(b, k).astype(np.uint64)
+                hashes = (grams * pows).sum(axis=1)  # uint64 wraparound
+                if len(hashes) >= window:
+                    wins = sliding_window_view(hashes, window)
+                    # rightmost min per window: reverse, argmin, map back
+                    picks = (window - 1) - np.argmin(wins[:, ::-1], axis=1)
+                    sel = np.unique(picks + np.arange(len(wins)))
+                    chosen = np.unique(hashes[sel])
+                else:
+                    chosen = np.unique(hashes)
+                ids.extend([doc_id] * len(chosen))
+                fps.extend(chosen.view(np.int64))  # bit-reinterpret to signed
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def winnow_near_pairs(
+    df: DataFrame,
+    min_shared: int = 5,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Doc pairs sharing ≥ ``min_shared`` winnowed fingerprints —
+    near-dup / plagiarism-style detection. The join is per-fingerprint
+    (inverted index), never all-pairs; ubiquitous fingerprints (shared
+    by > 0.5% of docs or > 100 docs) are dropped first, the standard
+    index-pruning step that keeps boilerplate from exploding the join.
+    """
+    fps = winnow_fingerprints(df, k, window, text_col, id_col)
+    n_docs = df.count()
+    cap = max(int(n_docs * 0.005), 100)
+    rare = fps.join(
+        fps.groupBy("fp").agg(F.count("*").alias("_df")).filter(F.col("_df") <= cap),
+        "fp",
+    )
+    a = rare.select(F.col(id_col).alias("doc_a"), "fp")
+    b = rare.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

@@ -76,6 +76,18 @@ def lang_id(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer approximation: contractions, letter runs,
+# single digits, punctuation runs. RE2-compatible (no lookarounds) so
+# the DuckDB oracle can run the identical pattern.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-ish token count under the BPE pre-tokenizer regex —
+    a closer LLM-token-budget proxy than whitespace counting."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)).cast("long")
+
+
 def fingerprint(text: Column) -> Column:
     """Whitespace-normalized content fingerprint (md5 hex) — the
     document-identity key for exact dedup."""

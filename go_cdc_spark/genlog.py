@@ -149,9 +149,10 @@ def write_segments(spark: SparkSession, spec: LogSpec, out_dir: str) -> int:
     sub = F.pmod(F.xxhash64("seq", F.lit(spec.seed)), F.lit(fps))
 
     def _write(d, mode):
-        d.repartition(int(n_segments * fps), "segment", sub).write.partitionBy(
+        # visible sort on the partition col skips planned write's re-sort
+        d.repartition(int(n_segments * fps), "segment", sub).sortWithinPartitions(
             "segment"
-        ).mode(mode).parquet(out_dir)
+        ).write.partitionBy("segment").mode(mode).parquet(out_dir)
 
     evolve_at = spec.evolve_from_segment
     if evolve_at is None:

@@ -40,16 +40,21 @@ def merge_resolved(
     key_cols: Sequence[str],
     order_cols: Sequence[str],
     payload_cols: Sequence[str],
+    salt_partitions: int | None = None,
 ) -> DataFrame:
-    """Merge a LWW-resolved batch into the current *internal* state.
+    """Merge a batch of events into the current *internal* state.
 
     ``current``: key_cols + order_cols + op + payload_cols (stored
     rows incl. tombstones; legacy inputs without order_cols/op are
     stamped with order=-1 / op='u', i.e. "lose to any event").
-    ``resolved_batch``: key_cols + order_cols + op + payload_cols
-    (output of lww_resolve — one row per key).
+    ``resolved_batch``: key_cols + order_cols + op + payload_cols —
+    either pre-reduced (one row per key) or RAW events: max-struct is
+    associative, so union + one reduce gives the identical result and
+    pre-reducing would only add a redundant shuffle.
     Returns the new internal state (one row per key, tombstones
     retained with op='d'). Filter ``op != 'd'`` for the live view.
+    ``salt_partitions`` enables the two-phase salted reduce for
+    pathological hot keys (≙ lww_resolve).
     """
     cur_cols = set(current.columns)
     for c in order_cols:
@@ -68,5 +73,6 @@ def merge_resolved(
         key_cols,
         order_cols,
         payload_cols,
-        validate=False,  # batch already validated at resolve time
+        salt_partitions=salt_partitions,
+        validate=False,  # batch op validity enforced upstream (checked_op)
     )

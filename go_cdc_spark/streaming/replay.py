@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from go_cdc_spark import schemas
 from go_cdc_spark.bookmark import BookmarkRow, BookmarkStore
 from go_cdc_spark.config import PipelineConfig
-from go_cdc_spark.operators.resolve import lww_resolve
 from go_cdc_spark.sinks.lake import ParquetLakeTable
 from go_cdc_spark.sources.oplog import list_segments, plan_chunks, read_chunk
 
@@ -46,11 +45,6 @@ class EpochResult:
     bucket_counts: dict[int, int] = field(default_factory=dict)
 
 
-def _payload_cols(df: DataFrame, key_cols, order_cols) -> list[str]:
-    skip = set(key_cols) | set(order_cols) | {"op", "segment"}
-    return [c for c in df.columns if c not in skip]
-
-
 def apply_epoch(
     events: DataFrame,
     lake: ParquetLakeTable,
@@ -60,38 +54,27 @@ def apply_epoch(
     epoch_key: str,
     stage: str = "tail",
 ) -> EpochResult:
-    """The per-micro-batch body shared by both modes: LWW-resolve the
+    """The per-micro-batch body shared by both modes: validate the
     events, MERGE into the lake (idempotent on epoch_key), then record
     the bookmark. ≙ TailerManager.flushAll (tailer_manager.go:71-91)
     with the token advanced only after a durable apply.
 
-    One scan + one shuffle over the raw events: the resolved winners
-    (persisted, one small row per key) also carry per-key raw counts,
-    so the HWM and lineage counts come from the winners — the global
-    max event is necessarily its own key's winner, so
-    max(winners.order) == max(events.order)."""
+    One wide shuffle per epoch: the batch goes to the sink RAW — the
+    sink's merge is union(current, batch) → LWW reduce, and max-struct
+    associativity makes pre-reducing the batch redundant (it was a
+    second full shuffle of the same data). The lineage pass (affected
+    buckets, epoch HWM, per-bucket raw-event counts) is a map-side
+    partial aggregate over ≤ n_buckets groups — a driver round-trip of
+    ≤ n_buckets rows, no wide shuffle, no persist."""
+    from go_cdc_spark.operators.resolve import checked_op
     from go_cdc_spark.sinks.lake import bucket_expr
 
     t0 = time.time()
     events = events.drop("segment") if "segment" in events.columns else events
-    resolved = (
-        lww_resolve(
-            events,
-            cfg.key_cols,
-            cfg.order_cols,
-            _payload_cols(events, cfg.key_cols, cfg.order_cols),
-            salt_partitions=cfg.salt_partitions,
-            count_col="_n_events",
-        )
-        .withColumn("bucket", bucket_expr(cfg.key_cols, lake.n_buckets))
-        .persist()
-    )
-    # ONE driver round-trip (≤ n_buckets rows) yields the affected-bucket
-    # set, the epoch HWM, and per-bucket raw-event lineage counts — the
-    # global max event is necessarily its own key's winner.
-    per_bucket = resolved.groupBy("bucket").agg(
+    bucketed = events.withColumn("bucket", bucket_expr(cfg.key_cols, lake.n_buckets))
+    per_bucket = bucketed.groupBy("bucket").agg(
         F.max(F.struct(*cfg.order_cols)).alias("m"),
-        F.sum("_n_events").alias("n"),
+        F.count("*").alias("n"),
     ).collect()
     if per_bucket:
         hwm = max(tuple(r["m"][c] for c in cfg.order_cols) for r in per_bucket)
@@ -99,13 +82,15 @@ def apply_epoch(
         affected = [r["bucket"] for r in per_bucket]
     else:
         hwm, n_events, affected = schemas.ZERO_TOKEN, 0, []
+    # op ∈ {i,u,d} enforced on the value the merge consumes
+    # (≙ query_generator.go:39-48 routing error on unknown ops)
     stats = lake.apply_batch(
-        resolved.drop("_n_events"),
+        bucketed.withColumn("op", checked_op("op")),
         epoch_key=epoch_key,
         order_cols=cfg.order_cols,
         affected=affected,
+        salt_partitions=cfg.salt_partitions,
     )
-    resolved.unpersist()
     dt = time.time() - t0
     bookmarks.record(
         BookmarkRow(
@@ -159,6 +144,8 @@ def replay_chunked(
         results.append(
             apply_epoch(events, lake, bookmarks, cfg, chunk.epoch, epoch_key)
         )
+        if cfg.vacuum_every and len(results) % cfg.vacuum_every == 0:
+            lake.vacuum()
     return results
 
 
@@ -207,6 +194,34 @@ def replay_streaming(
     else:
         writer = writer.trigger(processingTime=cfg.trigger_interval or "1 second")
     return writer.start()
+
+
+def run_many(
+    spark: SparkSession,
+    cfgs: list[PipelineConfig],
+    chunk_segments: int = 1,
+) -> dict[str, list[EpochResult]]:
+    """Per-table parallel controllers, ≙ one goroutine + Controller per
+    configured collection (reference mongoreplay/oplog.go:176-198,
+    controller.go:20-38). Each table's replay is submitted from its own
+    driver thread; Spark's scheduler interleaves their jobs across the
+    executors, so a small table never waits behind a large one's full
+    replay (enable fair pools to also prevent job-level starvation).
+    State is disjoint per pipeline (own lake root, bookmark dir), so
+    thread-parallel replays never contend on a manifest.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len({c.pipeline_id for c in cfgs}) != len(cfgs):
+        raise ValueError("pipeline_ids must be unique")
+    if len({c.table_root for c in cfgs}) != len(cfgs):
+        raise ValueError("table_roots must be unique (disjoint state)")
+    with ThreadPoolExecutor(max_workers=len(cfgs)) as ex:
+        futures = {
+            c.pipeline_id: ex.submit(replay_chunked, spark, c, chunk_segments)
+            for c in cfgs
+        }
+        return {pid: f.result() for pid, f in futures.items()}
 
 
 def run_pipeline(

@@ -54,6 +54,10 @@ def main() -> None:
     ap.add_argument("--key-cols", default=None, help="comma-separated")
     ap.add_argument("--n-buckets", type=int, default=None)
     ap.add_argument("--salt-partitions", type=int, default=None)
+    ap.add_argument("--vacuum-every", type=int, default=None,
+                    help="vacuum superseded bucket copies every N epochs")
+    ap.add_argument("--lake-mode", default="cow", choices=["cow", "mor"],
+                    help="sink write mode when creating the table")
     ap.add_argument("--chunk-segments", type=int, default=4)
     ap.add_argument("--max-files-per-trigger", type=int, default=8)
     ap.add_argument("--trigger-interval", default=None,
@@ -96,6 +100,8 @@ def main() -> None:
         cfg.salt_partitions = args.salt_partitions
     if args.trigger_interval:
         cfg.trigger_interval = args.trigger_interval
+    if args.vacuum_every:
+        cfg.vacuum_every = args.vacuum_every
 
     spark = SparkSession.builder.appName(f"go_cdc_spark-{cfg.pipeline_id}").getOrCreate()
 
@@ -104,7 +110,8 @@ def main() -> None:
             return ParquetLakeTable.load(spark, cfg.table_root)
         except FileNotFoundError:
             return ParquetLakeTable.create(
-                spark, cfg.table_root, schemas.TABLE_SCHEMA, cfg.key_cols, cfg.n_buckets
+                spark, cfg.table_root, schemas.TABLE_SCHEMA, cfg.key_cols,
+                cfg.n_buckets, mode=args.lake_mode,
             )
 
     bookmarks = BookmarkStore(cfg.bookmark_root, cfg.pipeline_id)

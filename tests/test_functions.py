@@ -145,6 +145,37 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     emb.unpersist()
 
 
+def test_bpe_token_count(spark):
+    from go_cdc_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "don't stop"), (2, "x=42;"), (3, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    # don | 't | stop ; x | = | 4 | 2 | ;
+    assert out[1] == 3 and out[2] == 5 and out[3] == 0
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    from go_cdc_spark.functions.dedup import winnow_fingerprints, winnow_near_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, "AAA " + shared + " BBB"),
+        (2, "CCC " + shared + " DDD"),
+        (3, "completely unrelated content about spark shuffles and parquet"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # any substring of length >= k+window-1 chars must yield a shared fp
+    pairs = winnow_near_pairs(df, min_shared=3, k=8, window=4).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
+    # deterministic across runs
+    a = sorted(r.fp for r in winnow_fingerprints(df, 8, 4).collect())
+    b = sorted(r.fp for r in winnow_fingerprints(df, 8, 4).collect())
+    assert a == b
+
+
 def test_jaccard_dense_and_prefix_paths_agree(spark):
     docs = spark.read.parquet(DOCS).limit(300)
     dense = {

@@ -94,6 +94,92 @@ def test_schema_evolution_adds_nullable_column(spark, tmpdir_path):
     assert [f.name for f in t.schema.fields][-1] == "content_sha"
 
 
+def _apply_sequence(t):
+    """Three epochs over overlapping keys: inserts, updates+delete, late evolve."""
+    t.apply_batch(
+        _resolved(spark_ := t.spark, [_row("i", i, (f"r{i % 5}", "p", f"c{i % 3}"), f"v{i}") for i in range(20)]),
+        "e1",
+    )
+    t.apply_batch(
+        _resolved(spark_, [_row("u", 100 + i, (f"r{i % 5}", "p", "c0"), f"u{i}") for i in range(10)]
+                  + [_row("d", 200, ("r1", "p", "c1"))]),
+        "e2",
+    )
+    t.apply_batch(_resolved(spark_, [_row("u", 300, ("r0", "p", "c0"), "final")]), "e3")
+
+
+def test_mor_matches_cow_semantics(spark, tmpdir_path):
+    cow = ParquetLakeTable.create(
+        spark, f"{tmpdir_path}/cow", schemas.TABLE_SCHEMA, K, 8, mode="cow"
+    )
+    mor = ParquetLakeTable.create(
+        spark, f"{tmpdir_path}/mor", schemas.TABLE_SCHEMA, K, 8, mode="mor",
+        compact_every=2,  # force compactions mid-sequence
+    )
+    _apply_sequence(cow)
+    _apply_sequence(mor)
+    key = lambda r: (r["repo"], r["path"], r["commit"])  # noqa: E731
+    got_c = {key(r): r["content"] for r in cow.read().collect()}
+    got_m = {key(r): r["content"] for r in mor.read().collect()}
+    assert got_c == got_m and len(got_m) > 0
+    # tombstones visible in both internal views
+    assert (
+        mor.read(internal=True).filter("op = 'd'").count()
+        == cow.read(internal=True).filter("op = 'd'").count()
+    )
+
+
+def test_mor_appends_deltas_then_compacts(spark, tmpdir_path):
+    t = ParquetLakeTable.create(
+        spark, tmpdir_path, schemas.TABLE_SCHEMA, K, 4, mode="mor", compact_every=3
+    )
+    one_key = [_row("u", 1, ("r1", "p", "c"), "v1")]
+    t.apply_batch(_resolved(spark, one_key), "e1")
+    t.apply_batch(_resolved(spark, [_row("u", 2, ("r1", "p", "c"), "v2")]), "e2")
+    m = t.manifest()
+    [(b, ds)] = m["deltas"].items()
+    assert len(ds) == 2 and b not in m["buckets"]  # two deltas, no base yet
+    # third touch hits compact_every ⇒ folded into a base, deltas cleared
+    t.apply_batch(_resolved(spark, [_row("u", 3, ("r1", "p", "c"), "v3")]), "e3")
+    m = t.manifest()
+    assert m["deltas"] == {} and b in m["buckets"]
+    assert t.read().collect()[0]["content"] == "v3"
+    # reads during the delta phase were already correct (checked above
+    # via read()); epoch idempotence unaffected
+    s = t.apply_batch(_resolved(spark, [_row("u", 9, ("r1", "p", "c"), "X")]), "e3")
+    assert not s.applied and t.read().collect()[0]["content"] == "v3"
+
+
+def test_mor_schema_evolution(spark, tmpdir_path):
+    t = ParquetLakeTable.create(
+        spark, tmpdir_path, schemas.TABLE_SCHEMA, K, 4, mode="mor", compact_every=4
+    )
+    t.apply_batch(_resolved(spark, [_row("i", 1, ("r1", "p", "c"), "old")]), "e1")
+    evolved = _events(spark, [_row("i", 2, ("r2", "p", "c"), "new")]).withColumn(
+        "content_sha", F.sha2(F.coalesce("content", F.lit("")), 256)
+    )
+    t.apply_batch(lww_resolve(evolved, K, O, P + ["content_sha"]), "e2")
+    out = {r["repo"]: r.asDict() for r in t.read().collect()}
+    assert out["r1"]["content_sha"] is None and out["r2"]["content_sha"] is not None
+
+
+def test_vacuum_reclaims_superseded_buckets(spark, tmpdir_path):
+    t = _table(spark, tmpdir_path, n_buckets=4)
+    for e in range(4):  # every epoch rewrites the same key's bucket
+        t.apply_batch(_resolved(spark, [_row("u", e + 1, ("r1", "p", "c"), f"v{e}")]), f"e{e}")
+    before = t.read().collect()
+    removed = t.vacuum(keep_manifests=2)
+    assert removed  # superseded copies of the bucket were deleted
+    # table state and epoch idempotence survive vacuum
+    assert t.read().collect() == before
+    s = t.apply_batch(_resolved(spark, [_row("u", 99, ("r1", "p", "c"), "X")]), "e0")
+    assert not s.applied
+    # only data referenced by the latest manifest remains
+    live_dirs = {d for d in t.manifest()["buckets"].values()}
+    data_root = os.path.join(tmpdir_path, "data")
+    assert {f"data/{v}" for v in os.listdir(data_root)} <= live_dirs
+
+
 def test_crash_retry_overwrites_orphan_data_dir(spark, tmpdir_path):
     t = _table(spark, tmpdir_path)
     # simulate a crashed attempt: data dir exists, manifest does not

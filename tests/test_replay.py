@@ -48,6 +48,51 @@ def test_full_replay_matches_oracle(spark, tmpdir_path):
     assert throughput_summary(bm)["events"] > 6_000  # includes duplicates
 
 
+def test_run_many_parallel_tables(spark, tmpdir_path):
+    """≙ per-collection goroutines (oplog.go:176-198): two tables
+    replayed concurrently from driver threads, disjoint state."""
+    from go_cdc_spark.streaming.replay import run_many
+
+    cfgs = []
+    for i, seed in enumerate((41, 97)):
+        cfg = PipelineConfig(
+            pipeline_id=f"tbl{i}",
+            source_log_path=os.path.join(tmpdir_path, f"log{i}"),
+            table_root=os.path.join(tmpdir_path, f"table{i}"),
+            bookmark_root=os.path.join(tmpdir_path, "bookmarks"),
+            n_buckets=4,
+        )
+        write_segments(spark, LogSpec(n_events=2_000, segment_events=1_000, seed=seed),
+                       cfg.source_log_path)
+        ParquetLakeTable.create(spark, cfg.table_root, schemas.TABLE_SCHEMA,
+                                cfg.key_cols, cfg.n_buckets)
+        cfgs.append(cfg)
+    out = run_many(spark, cfgs, chunk_segments=1)
+    assert set(out) == {"tbl0", "tbl1"}
+    for i, cfg in enumerate(cfgs):
+        lake = ParquetLakeTable.load(spark, cfg.table_root)
+        assert _fingerprint(lake) == _oracle_fp(spark, cfg.source_log_path)
+
+
+def test_full_replay_mor_lake_matches_oracle(spark, tmpdir_path):
+    """Same e2e contract through the merge-on-read sink: skewed, with
+    duplicates and mid-log schema evolution, plus a kill/resume."""
+    cfg = _cfg(tmpdir_path)
+    spec = LogSpec(n_events=6_000, segment_events=1_000, hot_pct=35,
+                   dup_every=71, evolve_from_segment=4, seed=27)
+    write_segments(spark, spec, cfg.source_log_path)
+    ParquetLakeTable.create(spark, cfg.table_root, schemas.TABLE_SCHEMA,
+                            cfg.key_cols, cfg.n_buckets,
+                            mode="mor", compact_every=3)
+    part1 = replay_chunked(spark, cfg, max_epochs=3)
+    part2 = replay_chunked(spark, cfg)  # resume
+    assert len(part1) + len(part2) == 6
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    assert _fingerprint(lake) == _oracle_fp(spark, cfg.source_log_path)
+    # compaction really interleaved with delta appends
+    assert lake.manifest()["mode"] == "mor"
+
+
 def test_kill_mid_replay_then_resume(spark, tmpdir_path):
     cfg = _cfg(tmpdir_path)
     spec = LogSpec(n_events=4_000, segment_events=1_000, seed=33)
