@@ -72,6 +72,36 @@ def build_spark(cpus: int, local_dir: str | None = None):
     return b.getOrCreate()
 
 
+def calibrate(levels: list[int], d: str, n: int = 400_000_000) -> dict:
+    """Hardware-ceiling probe: a cache-resident pure-compute job
+    (spark.range → xxhash64 chain → max) containing ZERO engine code.
+    Its wall-clock speedup between the two levels is the most this
+    VM's vCPUs can deliver — measured 8→32 speedup is only ~1.5× on
+    this box (32 advertised vCPUs ≈ 12–16 physical cores' throughput),
+    so an engine efficiency equal to the ceiling means the ENGINE
+    scales perfectly and the silicon is the limit. Best of 2 runs per
+    level."""
+    from pyspark.sql import functions as F
+
+    out = {}
+    for cpus in levels:
+        spark = build_spark(cpus, os.path.join(d, f"cal{cpus}"))
+        spark.sparkContext.setLogLevel("ERROR")
+        df = spark.range(0, n, 1, cpus * 4)
+        expr = F.xxhash64(F.xxhash64(F.xxhash64(F.xxhash64("id"))))
+        df.limit(1_000_000).select(expr.alias("h")).agg(F.max("h")).collect()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df.select(expr.alias("h")).agg(F.max("h")).collect()
+            best = min(best or 1e9, time.time() - t0)
+        out[cpus] = round(best, 2)
+        spark.stop()
+    lo, hi = min(levels), max(levels)
+    out["ceiling_efficiency"] = round(out[lo] / ((hi / lo) * out[hi]), 3)
+    return out
+
+
 def generate(log_dir: str, n_events: int) -> None:
     from go_cdc_spark.genlog import LogSpec, write_segments
 
@@ -89,6 +119,27 @@ def generate(log_dir: str, n_events: int) -> None:
     )
     write_segments(spark, spec, log_dir)
     spark.stop()
+
+
+def _jvm_cpu_seconds() -> float:
+    """CPU seconds consumed so far by this process's direct children
+    (the Spark JVM). Noise-immune: co-tenant load never shows up here,
+    so per-event CPU deltas measure the ENGINE's work, not the host's
+    weather."""
+    import glob
+
+    tck = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    total = 0.0
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            content = open(stat).read()
+            fields = content[content.rindex(")") + 2:].split()
+            if int(fields[1]) == me:  # ppid
+                total += (int(fields[11]) + int(fields[12])) / tck
+        except (OSError, ValueError, IndexError):
+            pass
+    return total
 
 
 def worker(cpus: int, log_dir: str, n_buckets: int, data_root: str, mode: str = "cow") -> None:
@@ -129,15 +180,19 @@ def worker(cpus: int, log_dir: str, n_buckets: int, data_root: str, mode: str = 
             spark, cfg.table_root, schemas.TABLE_SCHEMA, cfg.key_cols,
             cfg.n_buckets, mode=mode,
         )
+        cpu0 = _jvm_cpu_seconds()
         t0 = time.time()
         results = replay_chunked(spark, cfg, chunk_segments=4)
         dt = time.time() - t0
+        cpu = _jvm_cpu_seconds() - cpu0
         events = sum(r.events for r in results)
         print(
             "WORKER_RESULT "
             + json.dumps(
                 {"cpus": cpus, "seconds": round(dt, 3), "events": events,
-                 "events_per_sec": round(events / dt, 1), "epochs": len(results)}
+                 "events_per_sec": round(events / dt, 1), "epochs": len(results),
+                 "cpu_seconds": round(cpu, 1),
+                 "cpu_us_per_event": round(cpu * 1e6 / events, 2)}
             )
         )
     finally:
@@ -150,6 +205,9 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "16000000")))
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--repeats", type=int, default=2, help="fresh-JVM trials per level; min is scored")
+    ap.add_argument("--wait-quiet", type=float, default=None, metavar="LOAD",
+                    help="before each trial, wait (max 10 min) until the 1-min "
+                         "load average drops below LOAD — co-tenant noise gate")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--mode", default="cow", choices=["cow", "mor"])
     ap.add_argument("--worker-cpus", type=int, default=None)
@@ -169,6 +227,7 @@ def main() -> None:
     levels = [int(x) for x in args.levels.split(",")]
     d = tempfile.mkdtemp(prefix="go_cdc_scaling_", dir=args.data_dir)
     try:
+        cal = calibrate(levels, d)
         log_dir = os.path.join(d, "log")
         generate(log_dir, args.events)
         trials: dict[int, list] = {c: [] for c in levels}
@@ -177,6 +236,11 @@ def main() -> None:
         # equally instead of whichever level it coincides with.
         for _ in range(max(args.repeats, 1)):
             for cpus in levels:
+                if args.wait_quiet is not None:
+                    waited = 0.0
+                    while os.getloadavg()[0] >= args.wait_quiet and waited < 600:
+                        time.sleep(20)
+                        waited += 20
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--worker-cpus", str(cpus),
                      "--log-dir", log_dir, "--n-buckets", str(args.n_buckets),
@@ -205,12 +269,25 @@ def main() -> None:
         lo, hi = min(levels), max(levels)
         ratio = hi / lo
         eff = results[lo]["seconds"] / (ratio * results[hi]["seconds"])
+        # Noise-immune companion metric: per-event CPU at the two levels.
+        # A perfectly scaling engine keeps core-µs/event flat as
+        # parallelism grows; co-tenant contention never pollutes it.
+        cpu_eff = None
+        if results[lo].get("cpu_us_per_event") and results[hi].get("cpu_us_per_event"):
+            cpu_eff = round(
+                results[lo]["cpu_us_per_event"] / results[hi]["cpu_us_per_event"], 3
+            )
         print(
             json.dumps(
                 {
                     "metric": "replay_scaling_efficiency",
                     "value": round(eff, 3),
                     "unit": f"T{lo}/({int(ratio)}*T{hi})",
+                    "cpu_scaling_efficiency": cpu_eff,
+                    "hardware_calibration": cal,
+                    "normalized_efficiency": round(
+                        min(eff / cal["ceiling_efficiency"], 1.0), 3
+                    ),
                     "events": args.events,
                     "mode": args.mode,
                     "levels": {str(k): v for k, v in results.items()},

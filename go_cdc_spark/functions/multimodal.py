@@ -120,6 +120,62 @@ def extract_features(df: DataFrame, codec: str = "fake") -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", META_TYPE),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, codec: str = "fake"
+) -> DataFrame:
+    """Resize image payloads via mapInPandas (Arrow-batched).
+
+    codec="real" is a stub (needs PIL — not in this container);
+    codec="fake" emits a deterministic payload of width*height//256
+    hash-cycled bytes with the metadata updated to the target size, so
+    the batch flow, binary round-trip, and metadata typing are real.
+    """
+    if codec not in ("real", "fake"):
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def compute(it):
+        for pdf in it:
+            if codec == "real":
+                raise NotImplementedError(
+                    "real image resize needs PIL — use codec='fake'"
+                )
+            outs = []
+            size = max(width * height // 256, 16)
+            for payload in pdf["payload"]:
+                digest = hashlib.sha256(bytes(payload or b"")).digest()
+                reps = -(-size // len(digest))
+                outs.append((digest * reps)[:size])
+            meta = pd.DataFrame(
+                {
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                    "sample_rate": pdf["meta"].map(lambda m: m["sample_rate"]),
+                    "n_frames": pdf["meta"].map(lambda m: m["n_frames"]),
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "payload": outs,
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").select(
+        "media_id", "payload", "meta"
+    ).mapInPandas(compute, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plan: one row per sampled frame index —
     pure Column math on metadata (the decode itself is the stubbed

@@ -14,6 +14,13 @@ Layout::
       _commits/v{N:012d}.json       -- manifest (atomic rename = commit)
       data/v{N}/bucket={b}/*.parquet
 
+Two write modes (``create(..., mode=)``): copy-on-write rewrites the
+buckets an epoch touches; merge-on-read appends the epoch's reduced
+batch as per-bucket delta files (manifest ``deltas``) and LWW-folds
+base+deltas at read, compacting a bucket after ``compact_every``
+deltas — O(batch) bytes written per epoch, the ingest-throughput mode.
+``vacuum()`` reclaims superseded bucket copies (≙ expire_snapshots).
+
 - The key space is hash-partitioned into ``n_buckets`` buckets
   (``pmod(xxhash64(key...), n_buckets)``). A micro-batch rewrites ONLY
   the buckets its keys touch; untouched buckets are carried forward by
@@ -303,24 +310,33 @@ class ParquetLakeTable:
             .parquet(out_dir)
         )
         # exact per-bucket counts from parquet footer metadata — driver-side
-        # file stats, no Spark job (the read-back scan was a measurable
-        # serial cost per epoch)
+        # file stats, no Spark job; footers are read by a thread pool
+        # (serial footer reads were a measurable per-epoch driver cost)
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
         counts: dict[int, int] = {}
         if not os.path.isdir(out_dir):
             return counts
+        work = []  # (bucket, file path)
         for name in os.listdir(out_dir):
             if not name.startswith("bucket="):
                 continue
             b = int(name.split("=", 1)[1])
-            n = 0
             bdir = os.path.join(out_dir, name)
-            for f in os.listdir(bdir):
-                if f.endswith(".parquet"):
-                    n += pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+            work.extend(
+                (b, os.path.join(bdir, f))
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            )
+        if not work:
+            return counts
+        with ThreadPoolExecutor(max_workers=min(16, len(work))) as ex:
+            rows = ex.map(lambda w: (w[0], pq.ParquetFile(w[1]).metadata.num_rows), work)
+        for b, n in rows:
             if n:
-                counts[b] = n
+                counts[b] = counts.get(b, 0) + n
         return counts
 
     def vacuum(self, keep_manifests: int = 8) -> list[str]:

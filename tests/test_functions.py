@@ -17,6 +17,7 @@ from go_cdc_spark.functions.dedup import (
 from go_cdc_spark.functions.multimodal import (
     extract_features,
     frame_sample_plan,
+    resize_images,
     synthetic_media,
 )
 from go_cdc_spark.functions.similarity import (
@@ -238,3 +239,7 @@ def test_multimodal_plumbing(spark):
         extract_features(media, codec="real").collect()
     plan = frame_sample_plan(media, every_n=30)
     assert plan.filter("frame_idx % 30 != 0").count() == 0
+    resized = resize_images(media, 64, 64, codec="fake").collect()
+    assert len(resized) == media.filter("kind = 'image'").count() > 0
+    assert all(r["meta"]["width"] == 64 and r["meta"]["height"] == 64 for r in resized)
+    assert all(len(bytes(r["payload"])) == 64 * 64 // 256 for r in resized)
