@@ -410,7 +410,9 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (vectorized-UDF rolling-hash op)."""
+    """Exact-oracle checked: winnowing is deterministic, and its
+    rolling hash never wraps uint64 on ASCII text, so the DuckDB twin
+    reproduces fingerprints (and therefore pairs) bit-for-bit."""
     from go_cdc_spark.functions.dedup import winnow_near_pairs
 
     return winnow_near_pairs(_docs(spark, sf_dir), min_shared=5)
@@ -484,10 +486,23 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (binary-column plumbing with stubbed codec)."""
-    from go_cdc_spark.functions.multimodal import extract_features, synthetic_media
+    """Binary-column plumbing with stubbed codec, emitted as scalar
+    columns only (``features_fingerprint`` digests the float vector)
+    so the harness can canonicalise every column and DuckDB can mirror
+    the whole hash chain exactly."""
+    from go_cdc_spark.functions.multimodal import (
+        extract_features,
+        features_fingerprint,
+        synthetic_media,
+    )
 
-    return extract_features(synthetic_media(spark, 1000), codec="fake")
+    feats = extract_features(synthetic_media(spark, 1000), codec="fake")
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_sha",
+        features_fingerprint("features").alias("features_sha"),
+    )
 
 
 # ---------------- driver contract ----------------
@@ -676,7 +691,58 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
             "sqrt(list_dot_product(b.v, b.v))) >= 0.45"
         ),
-        # dedup_minhash_lsh, dedup_simhash, sim_ann_lsh, sim_ann_ivf, mm_features:
-        # intentionally omitted — vectorized-UDF / approximate ops get
-        # the driver's rows-only check.
+        "dedup_winnow": (
+            # Exact SQL twin of MOSS winnowing (k=8, window=4): the
+            # base-257 rolling hash is a plain weighted byte sum (max
+            # ≈ 1.5e17 < 2^63 — the uint64 wraparound in the Spark UDF
+            # never fires), and the docs are ASCII so unicode(char) ==
+            # utf-8 byte. Rightmost-min-per-window via a rank over the
+            # 4-gram self-join; then the same ubiquity cap
+            # (df ≤ max(ceil(0.005·n_docs), 100)) and ≥5-shared-fp pair
+            # join as go_cdc_spark.functions.dedup.winnow_near_pairs.
+            "WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents), "
+            "g AS (SELECT doc_id, CAST(t.i AS INT) AS i, "
+            "list_sum(list_transform(range(8), j -> "
+            "CAST(unicode(substr(text, CAST(t.i + j + 1 AS INT), 1)) AS HUGEINT) * "
+            "([74051159531521793, 288136807515649, 1121154893057, 4362470401, "
+            "16974593, 66049, 257, 1])[CAST(j+1 AS INT)])) AS h "
+            "FROM d, LATERAL unnest(range(L - 7)) AS t(i) WHERE L >= 8), "
+            "gn AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id), "
+            "wins AS (SELECT g1.doc_id, g1.i AS w, g2.h, g2.i AS j, "
+            "row_number() OVER (PARTITION BY g1.doc_id, g1.i "
+            "ORDER BY g2.h ASC, g2.i DESC) AS rn "
+            "FROM g g1 JOIN gn ON gn.doc_id = g1.doc_id AND gn.n_grams >= 4 "
+            "JOIN g g2 ON g2.doc_id = g1.doc_id AND g2.i BETWEEN g1.i AND g1.i + 3 "
+            "WHERE g1.i <= gn.n_grams - 4), "
+            "short_docs AS (SELECT g.doc_id, g.h FROM g "
+            "JOIN gn ON gn.doc_id = g.doc_id AND gn.n_grams < 4), "
+            "fps AS (SELECT DISTINCT doc_id, h FROM wins WHERE rn = 1 "
+            "UNION SELECT DISTINCT doc_id, h FROM short_docs), "
+            "ndocs AS (SELECT count(*) AS n FROM documents), "
+            "freq AS (SELECT h, count(*) AS df FROM fps GROUP BY h), "
+            "rare AS (SELECT fps.doc_id, fps.h FROM fps "
+            "JOIN freq ON freq.h = fps.h, ndocs "
+            "WHERE freq.df <= greatest(CAST(ceil(ndocs.n * 0.005) AS BIGINT), 100)), "
+            "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(count(*) AS BIGINT) AS n_shared "
+            "FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 5"
+        ),
+        "mm_features": (
+            # Mirrors the fake codec exactly: payload = sha256 digest of
+            # 'payload{id}'; payload_sha = sha256 of its lowercase hex;
+            # the 16 uint16 features are the payload_sha digest bytes, so
+            # the quantised-vector fingerprint is sha256(payload_sha).
+            "WITH m AS (SELECT range AS media_id, "
+            "CASE range % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "unhex(sha256('payload' || CAST(range AS VARCHAR))) AS payload "
+            "FROM range(1000)), "
+            "h AS (SELECT media_id, kind, sha256(lower(hex(payload))) AS payload_sha FROM m) "
+            "SELECT media_id, kind, payload_sha, sha256(payload_sha) AS features_sha FROM h"
+        ),
+        # dedup_minhash_lsh, dedup_simhash, sim_ann_lsh, sim_ann_ivf:
+        # intentionally omitted — approximate by construction; the driver
+        # records a rows-only check and pytest recall gates vs their exact
+        # counterparts assert quality (tests/test_functions.py).
     }

@@ -80,13 +80,16 @@ def _jaccard_dense(
     text_col: str,
     id_col: str,
 ) -> DataFrame:
-    """Dense-vocabulary regime: every token is effectively a stopword,
-    so posting-list pruning (prefix filter) cannot prune — the answer
-    really is near-all-pairs. Encode each doc as a binary incidence
-    row over the vocabulary and compute ALL pairwise intersections with
-    one blocked numpy GEMM per Arrow batch against the broadcast corpus
-    matrix (n_docs × |vocab| bytes — e.g. 1M docs × 4 KB = 4 GB raw,
-    packbits 8× less; past that, shard the corpus matrix by doc range).
+    """Dense-vocabulary regime, SMALL-corpus implementation: every
+    token is effectively a stopword, so posting-list pruning (prefix
+    filter) cannot prune — the answer really is near-all-pairs. Encode
+    each doc as a float32 incidence row over the vocabulary and compute
+    ALL pairwise intersections with one blocked numpy GEMM per Arrow
+    batch against the broadcast corpus matrix. Driver+broadcast memory
+    is n_docs × |vocab| × 4 B (float32) — 100k docs × 4096 vocab ≈
+    1.6 GB, which is why :func:`jaccard_pairs` gates this path on
+    ``dense_driver_max_docs`` and routes bigger corpora to the fully
+    distributed :func:`_jaccard_dense_blocked`.
     Exact: |A∩B| from the GEMM, |A∪B| = |A|+|B|−|A∩B|.
     """
     idx = {t: i for i, t in enumerate(vocab)}
@@ -97,7 +100,8 @@ def _jaccard_dense(
         return df.sparkSession.createDataFrame(
             [], f"doc_a long, doc_b long, jaccard double"
         )
-    mat = np.zeros((len(ids), len(vocab)), dtype=np.float64)
+    # float32: intersection counts are ≤ |vocab| ≤ 4096 « 2^24, exact
+    mat = np.zeros((len(ids), len(vocab)), dtype=np.float32)
     for r, toks in enumerate(pdf["_toks"]):
         for t in toks:
             mat[r, idx[t]] = 1.0
@@ -116,12 +120,18 @@ def _jaccard_dense(
         c_ids, c_mat, c_sizes = bc.value
         for block in it:
             b_ids = block[id_col].to_numpy()
-            m = np.zeros((len(b_ids), c_mat.shape[1]), dtype=np.float64)
+            m = np.zeros((len(b_ids), c_mat.shape[1]), dtype=np.float32)
             for r, toks in enumerate(block["_toks"]):
                 for t in toks:
                     m[r, idx[t]] = 1.0
-            inter = m @ c_mat.T  # (block, n_docs) intersection sizes
-            union = m.sum(axis=1)[:, None] + c_sizes[None, :] - inter
+            # GEMM in float32 (counts are exact there); divide in float64
+            # so the 6-decimal round matches the SQL oracle bit-for-bit
+            inter = (m @ c_mat.T).astype(np.float64)
+            union = (
+                m.sum(axis=1, dtype=np.float64)[:, None]
+                + c_sizes.astype(np.float64)[None, :]
+                - inter
+            )
             with np.errstate(divide="ignore", invalid="ignore"):
                 jac = np.round(np.where(union > 0, inter / union, 0.0), 6)
             ia, ib = np.nonzero(jac >= threshold)
@@ -137,12 +147,141 @@ def _jaccard_dense(
     return arrs.mapInPandas(compute, schema=out_schema)
 
 
+_PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_a", T.LongType()),
+        T.StructField("doc_b", T.LongType()),
+        T.StructField("jaccard", T.DoubleType()),
+    ]
+)
+
+
+def _jaccard_dense_blocked(
+    df: DataFrame,
+    vocab: list[str],
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Dense-vocabulary regime at LARGE doc counts — fully distributed
+    block-nested-loop: the driver holds only the vocabulary index.
+
+    Exact all-pairs over a tiny vocabulary is inherently O(n_docs²)
+    comparisons; what must NOT be O(n_docs) is driver memory. Each doc
+    becomes a packed incidence bitmask (|vocab|/8 bytes, BinaryType),
+    docs are hashed into ``n_shards`` shards, and every unordered shard
+    pair (s ≤ t) forms one task group: docs of shard u fan out as side
+    A to groups (u,t≥u) and as side B to groups (s≤u,u) — pair keys via
+    a JVM-side ``sequence``+``explode``, so each unordered doc pair
+    lands in exactly one group. The per-group verifier unpacks bits and
+    runs one float32 GEMM. Shuffle volume is n_docs·(n_shards+1) mask
+    rows; compare work spreads over n_shards·(n_shards+1)/2 tasks —
+    driver state is O(|vocab|) regardless of corpus size.
+    """
+    V = len(vocab)
+    idx = {t: i for i, t in enumerate(vocab)}  # closure-shipped: vocab only
+    s_lit = F.lit(n_shards)
+
+    mask_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("mask", T.BinaryType()),
+            T.StructField("size", T.IntegerType()),
+        ]
+    )
+
+    def to_masks(it):
+        for pdf in it:
+            bits = np.zeros((len(pdf), V), dtype=np.uint8)
+            for r, toks in enumerate(pdf["_toks"]):
+                for t in toks:
+                    bits[r, idx[t]] = 1
+            packed = np.packbits(bits, axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "mask": [p.tobytes() for p in packed],
+                    "size": bits.sum(axis=1).astype(np.int32),
+                }
+            )
+
+    masks = (
+        _token_arrays(df, text_col, id_col)
+        .mapInPandas(to_masks, schema=mask_schema)
+        .withColumn("shard", F.pmod(F.xxhash64("id"), s_lit).cast("int"))
+    )
+    # side A of groups (u, t) for t in [u, S); side B of (s, u) for s in [0, u]
+    a_side = masks.select(
+        "id", "mask", "size", F.lit(0).alias("role"),
+        F.explode(
+            F.sequence(F.col("shard") * s_lit + F.col("shard"),
+                       F.col("shard") * s_lit + s_lit - 1)
+        ).alias("pair"),
+    )
+    b_side = masks.select(
+        "id", "mask", "size", F.lit(1).alias("role"),
+        F.explode(
+            F.sequence(F.col("shard"), F.col("shard") * s_lit + F.col("shard"), s_lit)
+        ).alias("pair"),
+    )
+    both = a_side.unionByName(b_side)
+
+    def cross_score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pair = int(key[0])
+        diagonal = (pair // n_shards) == (pair % n_shards)
+        left = pdf[pdf["role"] == 0]
+        right = pdf[pdf["role"] == 1]
+        if diagonal:
+            # same shard appears in both roles — score one copy against itself
+            right = left
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.array([], dtype=np.int64),
+                    "doc_b": np.array([], dtype=np.int64),
+                    "jaccard": np.array([], dtype=np.float64),
+                }
+            )
+        la = np.unpackbits(
+            np.frombuffer(b"".join(left["mask"]), dtype=np.uint8).reshape(len(left), -1),
+            axis=1,
+        )[:, :V].astype(np.float32)
+        rb = np.unpackbits(
+            np.frombuffer(b"".join(right["mask"]), dtype=np.uint8).reshape(len(right), -1),
+            axis=1,
+        )[:, :V].astype(np.float32)
+        inter = (la @ rb.T).astype(np.float64)
+        sizes_a = left["size"].to_numpy().astype(np.float64)
+        sizes_b = right["size"].to_numpy().astype(np.float64)
+        union = sizes_a[:, None] + sizes_b[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.round(np.where(union > 0, inter / union, 0.0), 6)
+        ia, ib = np.nonzero(jac >= threshold)
+        a_ids = left["id"].to_numpy()[ia]
+        b_ids = right["id"].to_numpy()[ib]
+        vals = jac[ia, ib]
+        if diagonal:
+            # every pair appears twice (roles swapped) — keep one order
+            keep = a_ids < b_ids
+            a_ids, b_ids, vals = a_ids[keep], b_ids[keep], vals[keep]
+        else:
+            # disjoint shards: each pair appears once, in arbitrary id
+            # order — canonicalise, never filter
+            a_ids, b_ids = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"doc_a": a_ids, "doc_b": b_ids, "jaccard": vals})
+
+    return both.groupBy("pair").applyInPandas(cross_score, schema=_PAIRS_SCHEMA)
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
     dense_vocab_max: int = 4096,
+    dense_driver_max_docs: int = 100_000,
+    dense_shards: int = 32,
 ) -> DataFrame:
     """Near-duplicate pairs by token-set Jaccard ≥ threshold — EXACT,
     via the AllPairs/PPJoin prefix filter.
@@ -168,15 +307,29 @@ def jaccard_pairs(
     Degenerate regime: when the measured vocabulary is tiny
     (≤ ``dense_vocab_max``), every token is a stopword, no posting-list
     scheme can prune, and the true answer is near-all-pairs — the
-    planner switches to :func:`_jaccard_dense` (blocked incidence-matrix
-    GEMM), which is ~50× faster there. Both paths return identical
-    results.
+    planner switches to an incidence-matrix GEMM, which is ~50× faster
+    there. The dense regime itself has two implementations gated on
+    doc count (the vocabulary bounds columns, not rows — a billion-doc
+    corpus with a 31-token vocabulary must still never hit the driver):
+
+    - ≤ ``dense_driver_max_docs``: :func:`_jaccard_dense` — driver
+      collects the corpus once and broadcasts a float32 incidence
+      matrix (100k docs × 4096 vocab × 4 B ≈ 1.6 GB, the ceiling this
+      default is sized to).
+    - above it: :func:`_jaccard_dense_blocked` — sharded block-pair
+      GEMM over packed bitmasks; driver state is O(|vocab|) only.
+
+    All three paths return identical results.
     """
     toks = _tokens(df, text_col, id_col)
     dfreq = toks.groupBy("token").agg(F.count("*").alias("_df"))
     vocab = [r["token"] for r in dfreq.select("token").limit(dense_vocab_max + 1).collect()]
     if len(vocab) <= dense_vocab_max:
-        return _jaccard_dense(df, sorted(vocab), threshold, text_col, id_col)
+        if df.select(id_col).count() <= dense_driver_max_docs:
+            return _jaccard_dense(df, sorted(vocab), threshold, text_col, id_col)
+        return _jaccard_dense_blocked(
+            df, sorted(vocab), threshold, text_col, id_col, n_shards=dense_shards
+        )
     posts = toks.join(dfreq, "token")
     w = Window.partitionBy(id_col).orderBy("_df", "token")
     pref = (
@@ -421,12 +574,18 @@ def winnow_near_pairs(
     index-pruning step that keeps boilerplate from exploding the join.
     """
     fps = winnow_fingerprints(df, k, window, text_col, id_col)
-    n_docs = df.count()
-    cap = max(int(n_docs * 0.005), 100)
-    rare = fps.join(
-        fps.groupBy("fp").agg(F.count("*").alias("_df")).filter(F.col("_df") <= cap),
-        "fp",
+    # the ubiquity cap needs n_docs: fold it into the lazy plan as a
+    # broadcast 1-row aggregate instead of a separate count() action
+    n_docs_df = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    cap = F.greatest(F.ceil(F.col("_n_docs") * F.lit(0.005)), F.lit(100))
+    rare_fps = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .crossJoin(F.broadcast(n_docs_df))
+        .filter(F.col("_df") <= cap)
+        .select("fp")
     )
+    rare = fps.join(rare_fps, "fp")
     a = rare.select(F.col(id_col).alias("doc_a"), "fp")
     b = rare.select(F.col(id_col).alias("doc_b"), "fp")
     return (
@@ -444,43 +603,44 @@ def winnow_near_pairs(
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash per doc (token-hash bit-vote), vectorized numpy."""
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("simhash", T.LongType()),
-        ]
+    """64-bit SimHash per doc (token-hash bit-vote) — entirely JVM-side.
+
+    Tokens explode once, each token hashes with ``xxhash64`` (codegen),
+    and the 64 per-bit votes are 64 map-side-combined sum aggregations:
+    the shuffle carries 65 longs per doc regardless of doc length, and
+    no Python runs at all (the previous version hashed every token with
+    ``hashlib`` inside a pandas UDF). Bit i of the signature is set iff
+    a strict majority of the doc's token hashes set it; the bit-63 term
+    uses ``shiftleft`` wraparound so the reassembled long carries the
+    two's-complement pattern. Token-less docs keep signature 0 via the
+    left join back to the id set.
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
+        )
+        .filter(F.length("_tok") > 0)
+        .withColumn("_th", F.xxhash64("_tok"))
     )
-
-    import hashlib
-
-    def compute(it):
-        bitcols = np.arange(64, dtype=np.uint64)
-        for pdf in it:
-            ids, hs = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = str(text).lower().split()
-                if not toks:
-                    ids.append(doc_id)
-                    hs.append(0)
-                    continue
-                th = np.array(
-                    [
-                        int.from_bytes(
-                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-                        )
-                        for t in toks
-                    ],
-                    dtype=np.uint64,
-                )
-                bits = (th[:, None] >> bitcols[None, :]) & np.uint64(1)  # (n_tok, 64)
-                votes = bits.sum(axis=0) * 2 > len(toks)  # majority per bit
-                sig = int(np.packbits(votes[::-1]).view(">u8")[0])
-                ids.append(doc_id)
-                hs.append(sig - (1 << 64) if sig >= 1 << 63 else sig)  # to signed
-            yield pd.DataFrame({id_col: ids, "simhash": pd.array(hs, dtype="int64")})
-
-    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+    bit_sums = [
+        F.sum(F.shiftrightunsigned("_th", i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    votes = toks.groupBy(id_col).agg(F.count("*").alias("_n"), *bit_sums)
+    sig = None
+    for i in range(64):
+        term = F.when(
+            F.col(f"_b{i}") * 2 > F.col("_n"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    sigs = votes.select(F.col(id_col), sig.alias("simhash"))
+    return (
+        df.select(id_col)
+        .join(sigs, id_col, "left")
+        .select(F.col(id_col), F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def simhash_near_pairs(

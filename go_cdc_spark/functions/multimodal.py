@@ -45,10 +45,13 @@ MEDIA_SCHEMA = T.StructType(
 
 def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Deterministic opaque-binary media table (no external data):
-    payload bytes derive from sha2 of the id — stable across runs."""
+    payload bytes derive from sha2 of the id — stable across runs.
+
+    ``kind`` is ``id % 3`` (not a seeded hash) so an ANSI-SQL oracle
+    can reproduce the table exactly (``CASE media_id % 3 ...``)."""
     kinds = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+        (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
     )
     df = spark.range(n).select(
         F.col("id").alias("media_id"),
@@ -98,7 +101,10 @@ def extract_features(df: DataFrame, codec: str = "fake") -> DataFrame:
                 )
             shas, feats = [], []
             for payload in pdf["payload"]:
-                digest = hashlib.sha256(bytes(payload or b"")).digest()
+                # Hash the lowercase-hex rendering of the payload (not raw
+                # bytes): the chain stays inside valid UTF-8 so an ANSI-SQL
+                # oracle (sha256(lower(hex(payload)))) reproduces it exactly.
+                digest = hashlib.sha256(bytes(payload or b"").hex().encode()).digest()
                 shas.append(digest.hex())
                 vec = (
                     np.frombuffer(digest[:_FEATURE_DIM * 2], dtype=np.uint16)
@@ -118,6 +124,24 @@ def extract_features(df: DataFrame, codec: str = "fake") -> DataFrame:
     return df.select("media_id", "kind", "payload").mapInPandas(
         compute, schema=FEATURES_SCHEMA
     )
+
+
+@F.pandas_udf(T.StringType())
+def features_fingerprint(features: pd.Series) -> pd.Series:
+    """Stable scalar digest of a float feature vector (Arrow-batched).
+
+    Reconstructs the quantised uint16 lattice the fake codec emits
+    (round(f * 65535)), renders it as lowercase hex, and sha256-hashes
+    that string — so the digest is exact (no float-formatting drift)
+    and an ANSI-SQL oracle can reproduce it. Lets array-valued feature
+    columns flow through scalar-only comparison harnesses."""
+
+    def _fp(vec) -> str:
+        arr = np.asarray(vec, dtype=np.float64)
+        quantised = np.round(arr * 65535.0).astype("<u2").tobytes()
+        return hashlib.sha256(quantised.hex().encode()).hexdigest()
+
+    return features.map(_fp)
 
 
 RESIZED_SCHEMA = T.StructType(

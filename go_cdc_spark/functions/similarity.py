@@ -301,18 +301,26 @@ def near_dup_by_cosine(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 500_000,
+    n_shards: int = 32,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ threshold) — exact.
+    """Embedding-cosine near-duplicate pairs (sim ≥ threshold) — exact,
+    with a doc-count regime switch so the driver never OOMs:
 
-    Blocked GEMM: the corpus matrix is broadcast once (N×d float64; at
-    d=64 a 1M-vector corpus is 512 MB — the practical broadcast ceiling),
-    and each Arrow batch scores against it with one numpy GEMM, emitting
-    only pairs over the threshold. This replaced a per-pair Column-
-    expression crossJoin that was ~15× slower (interpreted higher-order
-    functions per pair). Past the broadcast ceiling, the scale path is
-    :func:`lsh_ann_topk` / :func:`ivf_ann_topk` candidate generation
-    with this as the per-cell verifier.
+    - ≤ ``max_broadcast_rows``: collect + broadcast the corpus matrix
+      once (N×d float64; 500k × 64 dims = 256 MB, the ceiling this
+      default is sized to) and score each Arrow batch against it with
+      one numpy GEMM. This replaced a per-pair Column-expression
+      crossJoin that was ~15× slower.
+    - above it: :func:`_near_dup_cosine_blocked` — sharded block-pair
+      GEMM (same scheme as dense Jaccard); the driver holds nothing,
+      shuffle is N·(n_shards+1) vector rows, and the O(N²) compare
+      spreads over n_shards·(n_shards+1)/2 tasks. Still exact — use
+      :func:`lsh_ann_topk` / :func:`ivf_ann_topk` when approximate
+      top-k is acceptable and N² itself is the problem.
     """
+    if df.select(id_col).count() > max_broadcast_rows:
+        return _near_dup_cosine_blocked(df, threshold, id_col, vec_col, n_shards)
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     if len(ids) == 0:
@@ -349,3 +357,80 @@ def near_dup_by_cosine(
             )
 
     return df.select(id_col, vec_col).mapInPandas(compute, schema=out_schema)
+
+
+def _near_dup_cosine_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Exact cosine near-dup pairs, fully distributed (no driver state).
+
+    Block-nested-loop over hash shards, the same scheme as
+    ``dedup._jaccard_dense_blocked``: vectors shard by id hash; shard u
+    fans out as side A to groups (u, t≥u) and side B to (s≤u, u) via a
+    JVM-side ``sequence``+``explode``, so each unordered vector pair
+    lands in exactly one group; the per-group verifier runs one float64
+    GEMM over L2-normalised rows. Shuffle = N·(n_shards+1) vector rows;
+    the inherent O(N²) compare work spreads over
+    n_shards·(n_shards+1)/2 tasks and scales out with executors.
+    """
+    s_lit = F.lit(n_shards)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("shard", F.pmod(F.xxhash64("id"), s_lit).cast("int"))
+    a_side = base.select(
+        "id", "v", F.lit(0).alias("role"),
+        F.explode(
+            F.sequence(F.col("shard") * s_lit + F.col("shard"),
+                       F.col("shard") * s_lit + s_lit - 1)
+        ).alias("pair"),
+    )
+    b_side = base.select(
+        "id", "v", F.lit(1).alias("role"),
+        F.explode(
+            F.sequence(F.col("shard"), F.col("shard") * s_lit + F.col("shard"), s_lit)
+        ).alias("pair"),
+    )
+    both = a_side.unionByName(b_side)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_a", T.LongType()),
+            T.StructField("doc_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def cross_score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pair = int(key[0])
+        diagonal = (pair // n_shards) == (pair % n_shards)
+        left = pdf[pdf["role"] == 0]
+        right = left if diagonal else pdf[pdf["role"] == 1]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.array([], dtype=np.int64),
+                    "doc_b": np.array([], dtype=np.int64),
+                    "cos_sim": np.array([], dtype=np.float64),
+                }
+            )
+        la = np.vstack(left["v"].to_numpy()).astype(np.float64)
+        la /= np.maximum(np.linalg.norm(la, axis=1, keepdims=True), 1e-12)
+        rb = np.vstack(right["v"].to_numpy()).astype(np.float64)
+        rb /= np.maximum(np.linalg.norm(rb, axis=1, keepdims=True), 1e-12)
+        sims = np.round(la @ rb.T, 6)
+        ia, ib = np.nonzero(sims >= threshold)
+        a_ids = left["id"].to_numpy()[ia]
+        b_ids = right["id"].to_numpy()[ib]
+        vals = sims[ia, ib]
+        if diagonal:
+            keep = a_ids < b_ids
+            a_ids, b_ids, vals = a_ids[keep], b_ids[keep], vals[keep]
+        else:
+            a_ids, b_ids = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"doc_a": a_ids, "doc_b": b_ids, "cos_sim": vals})
+
+    return both.groupBy("pair").applyInPandas(cross_score, schema=out_schema)

@@ -63,6 +63,10 @@ from go_cdc_spark.operators.resolve import lww_resolve
 
 _BUCKET = "_bucket"
 
+# Newest epoch keys kept inline in the manifest; older keys spill to
+# chained rollup files (see ParquetLakeTable._epochs_after_commit).
+EPOCHS_RECENT_MAX = 64
+
 
 @dataclass
 class CommitStats:
@@ -154,6 +158,11 @@ class ParquetLakeTable:
                     "bucket_counts": {},
                     # mor only: bucket -> ordered list of delta dirs
                     "deltas": {},
+                    # mor only: bucket -> physical rows across its delta
+                    # files. bucket_counts covers BASE files only; the
+                    # true live count needs the read-side LWW fold, so
+                    # physical rows = bucket_counts + delta_counts.
+                    "delta_counts": {},
                     "epochs": ["__create__"],
                 }
             )
@@ -210,7 +219,52 @@ class ParquetLakeTable:
         return self.manifest().get("order_cols", schemas.ORDER_COLS)
 
     def committed_epochs(self) -> set[str]:
-        return set(self.manifest()["epochs"])
+        """Full committed-epoch history: the manifest's recent window
+        plus the chained rollup files. O(history) file reads — called
+        once per pipeline start (replay.run_pipeline), never per
+        commit."""
+        m = self.manifest()
+        out = set(m["epochs"])
+        rel = m.get("epochs_rollup")
+        while rel:
+            with open(os.path.join(self.root, rel)) as fh:
+                lines = fh.read().splitlines()
+            prev = lines[0][len("#prev:"):]
+            out.update(lines[1:])
+            rel = None if prev == "-" else prev
+        return out
+
+    def _epochs_after_commit(self, m: dict, epoch_key: str, version: int) -> dict:
+        """Bounded epoch bookkeeping: the manifest keeps only the newest
+        ``EPOCHS_RECENT_MAX`` keys; overflow spills the older half to a
+        chained ``_commits/epochs-*.txt`` file, so manifest size and
+        per-commit cost stay O(1) at 10^6 epochs. Commit-time duplicate
+        detection therefore covers the recent window (crash-retry
+        duplicates are always recent); orchestration-level skips of
+        arbitrarily old epochs go through :meth:`committed_epochs`.
+        The rollup file is written before the manifest rename (the
+        commit point) — a crash in between leaves an orphan file that
+        the retried commit overwrites."""
+        epochs = m["epochs"] + [epoch_key]
+        if len(epochs) <= EPOCHS_RECENT_MAX:
+            return {
+                "epochs": epochs,
+                "epochs_rollup": m.get("epochs_rollup"),
+                "epochs_rolled": m.get("epochs_rolled", 0),
+            }
+        keep_n = EPOCHS_RECENT_MAX // 2
+        spill, keep = epochs[:-keep_n], epochs[-keep_n:]
+        rel = f"_commits/epochs-{version:012d}.txt"
+        fd, tmp = tempfile.mkstemp(dir=self._commits_dir, suffix=".etmp")
+        with os.fdopen(fd, "w") as fh:
+            fh.write("#prev:" + (m.get("epochs_rollup") or "-") + "\n")
+            fh.write("\n".join(spill) + "\n")
+        os.replace(tmp, os.path.join(self.root, rel))
+        return {
+            "epochs": keep,
+            "epochs_rollup": rel,
+            "epochs_rolled": m.get("epochs_rolled", 0) + len(spill),
+        }
 
     def payload_cols(self, schema: T.StructType | None = None) -> list[str]:
         s = schema or self.schema
@@ -340,10 +394,11 @@ class ParquetLakeTable:
         return counts
 
     def vacuum(self, keep_manifests: int = 8) -> list[str]:
-        """Reclaim storage no longer referenced by the LATEST manifest
-        (≙ Iceberg expire_snapshots): bucket dirs superseded by newer
-        versions, and manifests older than the newest ``keep_manifests``
-        (which bounds time travel). Copy-on-write versions otherwise
+        """Reclaim storage no longer referenced by ANY kept manifest
+        (≙ Iceberg expire_snapshots): bucket dirs only older, deleted
+        manifests point at, and manifests older than the newest
+        ``keep_manifests`` (which bounds time travel — every kept
+        version stays fully readable). Copy-on-write versions otherwise
         accumulate one superseded copy of every touched bucket per
         epoch — unbounded at 10^10 events.
 
@@ -354,15 +409,20 @@ class ParquetLakeTable:
         """
         import shutil
 
-        m = self.manifest()
-        referenced = {(d, b) for b, d in m["buckets"].items()}
-        for b, ds in m.get("deltas", {}).items():
-            referenced.update((d, b) for d in ds)
         # prune old manifests first: a crash mid-vacuum must never leave
         # a readable manifest pointing at deleted data
         files = self._epoch_manifest_files()
         for f in files[:-max(keep_manifests, 1)]:
             os.unlink(os.path.join(self._commits_dir, f))
+        # referenced = union over ALL surviving manifests, so every
+        # kept time-travel version stays readable after the vacuum
+        referenced: set[tuple[str, str]] = set()
+        for f in files[-max(keep_manifests, 1):]:
+            with open(os.path.join(self._commits_dir, f)) as fh:
+                m = json.load(fh)
+            referenced.update((d, b) for b, d in m["buckets"].items())
+            for b, ds in m.get("deltas", {}).items():
+                referenced.update((d, b) for d in ds)
         removed: list[str] = []
         data_root = os.path.join(self.root, "data")
         if not os.path.isdir(data_root):
@@ -394,7 +454,7 @@ class ParquetLakeTable:
         """Snapshot stage: replace the whole table (≙ Dumper truncate +
         full dump, reference dumper.go:140-163). Idempotent on epoch_key."""
         m = self.manifest()
-        if epoch_key in m["epochs"]:
+        if epoch_key in m["epochs"]:  # recent-window dup check; old epochs are skipped at orchestration via committed_epochs()
             return CommitStats(m["version"], epoch_key, applied=False)
         order_cols = m.get("order_cols", schemas.ORDER_COLS)
         internal = set(order_cols) | {"op", "bucket"}
@@ -426,7 +486,8 @@ class ParquetLakeTable:
                 "buckets": {str(b): f"data/v{version}" for b in counts},
                 "bucket_counts": {str(b): n for b, n in counts.items()},
                 "deltas": {},
-                "epochs": m["epochs"] + [epoch_key],
+                "delta_counts": {},
+                **self._epochs_after_commit(m, epoch_key, version),
             }
         )
         return CommitStats(
@@ -452,7 +513,7 @@ class ParquetLakeTable:
         pathological hot keys.
         """
         m = self.manifest()
-        if epoch_key in m["epochs"]:
+        if epoch_key in m["epochs"]:  # recent-window dup check; old epochs are skipped at orchestration via committed_epochs()
             return CommitStats(m["version"], epoch_key, applied=False)
 
         key_cols = m["key_cols"]
@@ -486,7 +547,8 @@ class ParquetLakeTable:
         if not affected:  # empty batch still commits the epoch (≙ empty poll)
             version = m["version"] + 1
             self._write_manifest(
-                {**m, "version": version, "epoch_key": epoch_key, "epochs": m["epochs"] + [epoch_key]}
+                {**m, "version": version, "epoch_key": epoch_key,
+                 **self._epochs_after_commit(m, epoch_key, version)}
             )
             return CommitStats(version, epoch_key, True)
 
@@ -499,6 +561,7 @@ class ParquetLakeTable:
         buckets = dict(m["buckets"])
         bucket_counts = dict(m["bucket_counts"])
         deltas = {b: list(ds) for b, ds in m.get("deltas", {}).items()}
+        delta_counts = dict(m.get("delta_counts", {}))
         mode = m.get("mode", "cow")
 
         if mode == "mor":
@@ -541,6 +604,7 @@ class ParquetLakeTable:
             for b in to_compact:
                 bs = str(b)
                 deltas.pop(bs, None)
+                delta_counts.pop(bs, None)
                 if b in counts:
                     buckets[bs] = f"data/v{version}"
                     bucket_counts[bs] = counts[b]
@@ -549,7 +613,9 @@ class ParquetLakeTable:
                     bucket_counts.pop(bs, None)
             for b in delta_only:
                 if b in counts:
-                    deltas.setdefault(str(b), []).append(f"data/v{version}")
+                    bs = str(b)
+                    deltas.setdefault(bs, []).append(f"data/v{version}")
+                    delta_counts[bs] = delta_counts.get(bs, 0) + counts[b]
         else:
             current = self.read(buckets=affected, manifest=m, internal=True)
             merged = merge_resolved(
@@ -578,7 +644,8 @@ class ParquetLakeTable:
                 "buckets": buckets,
                 "bucket_counts": bucket_counts,
                 "deltas": deltas,
-                "epochs": m["epochs"] + [epoch_key],
+                "delta_counts": delta_counts,
+                **self._epochs_after_commit(m, epoch_key, version),
             }
         )
         return CommitStats(

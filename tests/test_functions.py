@@ -243,3 +243,186 @@ def test_multimodal_plumbing(spark):
     assert len(resized) == media.filter("kind = 'image'").count() > 0
     assert all(r["meta"]["width"] == 64 and r["meta"]["height"] == 64 for r in resized)
     assert all(len(bytes(r["payload"])) == 64 * 64 // 256 for r in resized)
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """Quality gate for the approximate dedup_minhash_lsh query.
+
+    MinHash estimates SHINGLE-set Jaccard, so the exact counterpart is
+    token-set Jaccard over shingle-tokens (each 3-gram re-joined into
+    one whitespace token) — NOT raw token Jaccard, which measures a
+    different similarity entirely on small-vocabulary corpora. Planted
+    one-token edits of 40-token docs have exact shingle-Jaccard ≈ 0.85;
+    banded MinHash at threshold 0.6 (≈5σ below with 128 hashes) must
+    recover ≥90% of the exact pairs and estimate their Jaccard within
+    0.15 (fixed seeds — deterministic)."""
+    rows, shingle_rows = [], []
+    for i in range(30):
+        words = [f"w{i}_{j}" for j in range(40)]
+        edited = words[:20] + ["EDIT"] + words[21:]
+        for doc_id, toks in ((2 * i, words), (2 * i + 1, edited)):
+            rows.append((doc_id, " ".join(toks)))
+            shingle_rows.append(
+                (
+                    doc_id,
+                    " ".join(
+                        "_".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+                    ).lower(),
+                )
+            )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    shingled = spark.createDataFrame(shingle_rows, ["doc_id", "text"])
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(shingled, threshold=0.7).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    approx = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            df, n_hashes=128, bands=32, threshold=0.6
+        ).collect()
+    }
+    found = set(exact) & set(approx)
+    recall = len(found) / len(exact)
+    assert recall >= 0.9, f"recall {recall} over {len(exact)} exact pairs"
+    assert all(abs(approx[p] - exact[p]) <= 0.15 for p in found)
+
+
+def test_simhash_recall_on_planted_near_dups(spark):
+    """Quality gate for dedup_simhash: one-token edits of 40-token docs
+    must land within the hamming budget; unrelated docs must not."""
+    rows = []
+    for i in range(30):
+        words = [f"tok{i}_{j}" for j in range(40)]
+        rows.append((2 * i, " ".join(words)))
+        rows.append((2 * i + 1, " ".join(words[:-1] + ["edited"])))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    found = {
+        (p.doc_a, p.doc_b) for p in simhash_near_pairs(df, max_hamming=12).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(30)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"recall {recall}"
+    # distinct-vocabulary docs must stay far apart: every reported pair
+    # should be a planted one (tolerate nothing else at this budget)
+    assert found <= planted, f"false positives: {found - planted}"
+
+
+def test_winnow_fingerprints_match_python_oracle(spark):
+    """Exact oracle for dedup_winnow: an independent pure-Python
+    re-implementation of MOSS winnowing (Horner rolling hash mod 2^64,
+    rightmost-min windows) must produce the identical fingerprint set."""
+    from go_cdc_spark.functions.dedup import winnow_fingerprints
+
+    k, window = 8, 4
+    docs = spark.read.parquet(DOCS).limit(40)
+    got = {
+        (r.doc_id, r.fp) for r in winnow_fingerprints(docs, k, window).collect()
+    }
+
+    def winnow_py(text: str) -> set[int]:
+        b = text.encode("utf-8")
+        if len(b) < k:
+            return set()
+        hashes = []
+        for i in range(len(b) - k + 1):
+            h = 0
+            for ch in b[i : i + k]:
+                h = (h * 257 + ch) % (1 << 64)
+            hashes.append(h)
+        if len(hashes) < window:
+            chosen = set(hashes)
+        else:
+            chosen = set()
+            for i in range(len(hashes) - window + 1):
+                win = hashes[i : i + window]
+                m = min(win)
+                chosen.add(win[(window - 1) - win[::-1].index(m)])
+        return {h - (1 << 64) if h >= 1 << 63 else h for h in chosen}
+
+    expect = set()
+    for row in docs.select("doc_id", "text").collect():
+        expect.update((row.doc_id, fp) for fp in winnow_py(str(row.text)))
+    assert got == expect
+
+
+def test_simhash_matches_bit_vote_oracle(spark):
+    """The JVM-side simhash assembly must equal a python majority-vote
+    over the same per-token xxhash64 values."""
+    from go_cdc_spark.functions.dedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta"), (3, "")],
+        ["doc_id", "text"],
+    )
+    tok = (
+        df.select("doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"))
+        .filter(F.length("t") > 0)
+        .select("doc_id", F.xxhash64("t").alias("h"))
+        .collect()
+    )
+    by_doc: dict[int, list[int]] = {}
+    for r in tok:
+        by_doc.setdefault(r.doc_id, []).append(r.h & ((1 << 64) - 1))
+    expect = {}
+    for d in [1, 2, 3]:
+        hs = by_doc.get(d, [])
+        sig = 0
+        for i in range(64):
+            if sum((h >> i) & 1 for h in hs) * 2 > len(hs):
+                sig |= 1 << i
+        expect[d] = sig - (1 << 64) if sig >= 1 << 63 else sig
+    got = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    assert got == expect
+
+
+def test_jaccard_blocked_path_parity_no_driver_matrix(spark, monkeypatch):
+    """Above the doc-count gate, dense Jaccard must run the sharded
+    block-pair path: identical results AND no driver toPandas of the
+    corpus (vocab collect — O(|vocab|) — is the only driver state)."""
+    from pyspark.sql import DataFrame
+
+    docs = spark.read.parquet(DOCS).limit(300)
+    expect = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    assert expect
+
+    def boom(self, *a, **k):
+        raise AssertionError("blocked path must not toPandas the corpus")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(
+            docs, threshold=0.7, dense_driver_max_docs=0, dense_shards=4
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_cosine_blocked_path_parity_no_driver_collect(spark, monkeypatch):
+    """Above max_broadcast_rows, near_dup_by_cosine must run the fully
+    distributed block-pair path: identical pairs, no driver toPandas."""
+    from pyspark.sql import DataFrame
+
+    emb = spark.read.parquet(EMB)
+    expect = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in near_dup_by_cosine(emb, threshold=0.45).collect()
+    }
+    assert expect
+
+    def boom(self, *a, **k):
+        raise AssertionError("blocked path must not toPandas the corpus")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    got = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in near_dup_by_cosine(
+            emb, threshold=0.45, max_broadcast_rows=0, n_shards=4
+        ).collect()
+    }
+    assert got == expect

@@ -174,8 +174,14 @@ def test_vacuum_reclaims_superseded_buckets(spark, tmpdir_path):
     assert t.read().collect() == before
     s = t.apply_batch(_resolved(spark, [_row("u", 99, ("r1", "p", "c"), "X")]), "e0")
     assert not s.applied
-    # only data referenced by the latest manifest remains
-    live_dirs = {d for d in t.manifest()["buckets"].values()}
+    # only data referenced by a KEPT manifest remains (the union, so
+    # every surviving time-travel version stays readable)
+    import json
+
+    live_dirs = set()
+    for f in t._epoch_manifest_files():
+        with open(os.path.join(tmpdir_path, "_commits", f)) as fh:
+            live_dirs.update(json.load(fh)["buckets"].values())
     data_root = os.path.join(tmpdir_path, "data")
     assert {f"data/{v}" for v in os.listdir(data_root)} <= live_dirs
 
@@ -187,3 +193,79 @@ def test_crash_retry_overwrites_orphan_data_dir(spark, tmpdir_path):
     os.makedirs(os.path.join(orphan, "bucket=0"), exist_ok=True)
     s = t.apply_batch(_resolved(spark, [_row("i", 1, ("r1", "p", "c"), "v1")]), "e1")
     assert s.applied and t.read().count() == 1
+
+
+def test_manifest_epochs_bounded(spark, tmpdir_path):
+    """10^6-epoch scale guard: the manifest keeps a bounded recent
+    window; history spills to chained rollup files; committed_epochs()
+    still returns everything."""
+    import json
+
+    from go_cdc_spark.sinks.lake import EPOCHS_RECENT_MAX
+
+    t = _table(spark, tmpdir_path, n_buckets=4)
+    b = _resolved(spark, [_row("i", 1, ("r1", "p", "c"), "v1")])
+    t.apply_batch(b, "e0")
+    n = 150
+    for i in range(1, n):
+        # affected=[] → pure manifest commit, no Spark job per epoch
+        t.apply_batch(b, f"e{i}", affected=[])
+    m = t.manifest()
+    assert len(m["epochs"]) <= EPOCHS_RECENT_MAX
+    assert t.committed_epochs() >= {f"e{i}" for i in range(n)}
+    # manifest byte size must not grow with epoch count
+    latest = os.path.join(tmpdir_path, "_commits", f"v{m['version']:012d}.json")
+    assert os.path.getsize(latest) < 64 * 1024
+    # recent-window duplicate check still holds
+    assert not t.apply_batch(b, f"e{n-1}", affected=[]).applied
+
+
+def test_vacuum_keeps_kept_manifests_readable(spark, tmpdir_path):
+    """vacuum() must never delete data referenced by a manifest it
+    keeps: every surviving version stays fully readable (time travel)."""
+    import json
+
+    t = _table(spark, tmpdir_path, n_buckets=4)
+    for i in range(6):
+        t.apply_batch(
+            _resolved(spark, [_row("u", 10 + i, ("r1", "p", "c"), f"v{i}")]), f"e{i}"
+        )
+    t.vacuum(keep_manifests=3)
+    files = t._epoch_manifest_files()
+    assert len(files) == 3
+    for f in files:
+        with open(os.path.join(tmpdir_path, "_commits", f)) as fh:
+            old = json.load(fh)
+        rows = t.read(manifest=old).collect()  # raises if data was vacuumed away
+        assert len(rows) == 1
+
+
+def test_mor_delta_counts_tracked(spark, tmpdir_path):
+    """MoR manifests account for delta rows: physical rows =
+    bucket_counts (base) + delta_counts (deltas); compaction folds the
+    bucket's delta count away."""
+    from go_cdc_spark import schemas as S
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+
+    t = ParquetLakeTable.create(
+        spark, tmpdir_path, S.TABLE_SCHEMA, K, n_buckets=2, mode="mor", compact_every=4
+    )
+    t.apply_batch(_resolved(spark, [_row("i", 1, ("r1", "p", "c"), "a")]), "e0")
+    t.apply_batch(_resolved(spark, [_row("i", 2, ("r2", "p", "c"), "b")]), "e1")
+    m = t.manifest()
+    n_delta = sum(m["delta_counts"].values())
+    n_base = sum(m["bucket_counts"].values())
+    assert n_delta + n_base == 2  # every physical row accounted for
+    assert sum(len(v) for v in m["deltas"].values()) == sum(
+        1 for _ in m["delta_counts"]
+    ) or n_delta > 0
+    # drive one bucket over the compaction budget
+    for i in range(3, 9):
+        t.apply_batch(
+            _resolved(spark, [_row("u", 100 + i, ("r1", "p", "c"), f"v{i}")]), f"e{i}"
+        )
+    m2 = t.manifest()
+    for bs, ds in m2["deltas"].items():
+        assert bs in m2["delta_counts"] and m2["delta_counts"][bs] > 0
+    for bs in m2["delta_counts"]:
+        assert bs in m2["deltas"]  # compacted buckets drop their count
