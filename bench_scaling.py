@@ -72,6 +72,14 @@ def build_spark(cpus: int, local_dir: str | None = None):
     return b.getOrCreate()
 
 
+def _host_stat() -> dict:
+    """Host-wide jiffy counters from /proc/stat line 1 (user..steal)."""
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:9]))
+    keys = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+    return dict(zip(keys, v))
+
+
 def calibrate(levels: list[int], d: str, n: int = 400_000_000) -> dict:
     """Hardware-ceiling probe: a cache-resident pure-compute job
     (spark.range → xxhash64 chain → max) containing ZERO engine code.
@@ -181,18 +189,27 @@ def worker(cpus: int, log_dir: str, n_buckets: int, data_root: str, mode: str = 
             cfg.n_buckets, mode=mode,
         )
         cpu0 = _jvm_cpu_seconds()
+        st0 = _host_stat()
         t0 = time.time()
         results = replay_chunked(spark, cfg, chunk_segments=4)
         dt = time.time() - t0
+        st1 = _host_stat()
         cpu = _jvm_cpu_seconds() - cpu0
         events = sum(r.events for r in results)
+        # hypervisor steal DURING the timed window: co-tenant VMs rob
+        # cycles without showing in loadavg — this is the decisive
+        # per-trial cleanliness signal (measured 6%..50%+ on this host)
+        steal_d = st1["steal"] - st0["steal"]
+        busy_d = sum(st1.values()) - sum(st0.values()) - (st1["idle"] - st0["idle"])
+        steal_pct = round(100.0 * steal_d / max(busy_d, 1), 1)
         print(
             "WORKER_RESULT "
             + json.dumps(
                 {"cpus": cpus, "seconds": round(dt, 3), "events": events,
                  "events_per_sec": round(events / dt, 1), "epochs": len(results),
                  "cpu_seconds": round(cpu, 1),
-                 "cpu_us_per_event": round(cpu * 1e6 / events, 2)}
+                 "cpu_us_per_event": round(cpu * 1e6 / events, 2),
+                 "steal_pct_of_busy": steal_pct}
             )
         )
     finally:
@@ -206,8 +223,17 @@ def main() -> None:
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--repeats", type=int, default=2, help="fresh-JVM trials per level; min is scored")
     ap.add_argument("--wait-quiet", type=float, default=None, metavar="LOAD",
-                    help="before each trial, wait (max 10 min) until the 1-min "
-                         "load average drops below LOAD — co-tenant noise gate")
+                    help="before each trial, wait until the 1-min load average "
+                         "drops below LOAD — co-tenant noise gate")
+    ap.add_argument("--wait-max", type=float, default=600,
+                    help="max seconds to wait per trial for the quiet gate "
+                         "(co-tenant slams on this host last ~10 min; a budget "
+                         "longer than one slam lets every trial land quiet)")
+    ap.add_argument("--until-clean", type=float, default=None, metavar="LOAD",
+                    help="after the fixed repeats, keep adding trials until "
+                         "every level has one launched at 1-min load ≤ LOAD")
+    ap.add_argument("--max-minutes", type=float, default=60,
+                    help="time budget for --until-clean extra trials")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--mode", default="cow", choices=["cow", "mor"])
     ap.add_argument("--worker-cpus", type=int, default=None)
@@ -231,39 +257,70 @@ def main() -> None:
         log_dir = os.path.join(d, "log")
         generate(log_dir, args.events)
         trials: dict[int, list] = {c: [] for c in levels}
+
+        def run_trial(cpus: int) -> None:
+            if args.wait_quiet is not None:
+                waited = 0.0
+                while os.getloadavg()[0] >= args.wait_quiet and waited < args.wait_max:
+                    time.sleep(20)
+                    waited += 20
+            # the 1-min load at launch is the trial's cleanliness
+            # signal (load AFTER is polluted by the trial's own
+            # threads for short trials)
+            load_before = round(os.getloadavg()[0], 1)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker-cpus", str(cpus),
+                 "--log-dir", log_dir, "--n-buckets", str(args.n_buckets),
+                 "--mode", args.mode, "--data-dir", d],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = next(
+                (ln for ln in out.stdout.splitlines() if ln.startswith("WORKER_RESULT ")),
+                None,
+            )
+            if line is None:
+                sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+                raise RuntimeError(f"worker local[{cpus}] failed")
+            r = json.loads(line[len("WORKER_RESULT "):])
+            r["load_before"] = load_before
+            r["load_after"] = round(os.getloadavg()[0], 1)
+            trials[cpus].append(r)
+
         # Interleave trials across levels (1st trial of each, then 2nd
         # of each, ...) so a slow co-tenant phase penalizes both levels
         # equally instead of whichever level it coincides with.
         for _ in range(max(args.repeats, 1)):
             for cpus in levels:
-                if args.wait_quiet is not None:
-                    waited = 0.0
-                    while os.getloadavg()[0] >= args.wait_quiet and waited < 600:
-                        time.sleep(20)
-                        waited += 20
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--worker-cpus", str(cpus),
-                     "--log-dir", log_dir, "--n-buckets", str(args.n_buckets),
-                     "--mode", args.mode, "--data-dir", d],
-                    capture_output=True, text=True, timeout=3600,
+                run_trial(cpus)
+        # --until-clean: co-tenant slams on this host are long relative
+        # to a trial, so a fixed repeat count often never samples a
+        # quiet moment at the wide level. Keep adding interleaved trial
+        # pairs until every level has at least one trial launched at
+        # 1-min load ≤ the bar (or the time budget runs out). All
+        # trials stay in the record; the score is still min-per-level.
+        if args.until_clean is not None:
+            t0 = time.time()
+
+            def clean(c):
+                # clean = launched on a quiet loadavg AND the hypervisor
+                # robbed <10% of cycles during the timed window
+                return any(
+                    t["load_before"] <= args.until_clean
+                    and t.get("steal_pct_of_busy", 0) <= 10
+                    for t in trials[c]
                 )
-                line = next(
-                    (ln for ln in out.stdout.splitlines() if ln.startswith("WORKER_RESULT ")),
-                    None,
-                )
-                if line is None:
-                    sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
-                    raise RuntimeError(f"worker local[{cpus}] failed")
-                r = json.loads(line[len("WORKER_RESULT "):])
-                # co-tenant evidence: this host runs other tenants
-                # (measured load avg 5-14 while idle); record the 1-min
-                # load right after the trial so readers can see which
-                # trials were perturbed
-                r["load_after"] = round(os.getloadavg()[0], 1)
-                trials[cpus].append(r)
+
+            while (
+                not all(clean(c) for c in levels)
+                and time.time() - t0 < args.max_minutes * 60
+            ):
+                for cpus in levels:
+                    if not clean(cpus):
+                        run_trial(cpus)
         results = {
             c: {**min(ts, key=lambda r: r["seconds"]),
-                "trials_seconds": [r["seconds"] for r in ts]}
+                "trials_seconds": [r["seconds"] for r in ts],
+                "trials_load_before": [r["load_before"] for r in ts]}
             for c, ts in trials.items()
         }
         lo, hi = min(levels), max(levels)
