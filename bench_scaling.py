@@ -72,6 +72,21 @@ def build_spark(cpus: int, local_dir: str | None = None):
     return b.getOrCreate()
 
 
+def _membw_gbps(mb: int = 256, reps: int = 3) -> float:
+    """1-second single-thread memcpy probe (read+write GB/s). Co-tenant
+    VMs contend for DRAM bandwidth without showing in loadavg OR the
+    steal counter — this is the third cleanliness signal."""
+    import numpy as np
+
+    a = np.ones(mb * 1024 * 1024 // 8, dtype=np.float64)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.time()
+        a.copy()
+        best = max(best, (a.nbytes * 2 / 1e9) / (time.time() - t0))
+    return round(best, 1)
+
+
 def _host_stat() -> dict:
     """Host-wide jiffy counters from /proc/stat line 1 (user..steal)."""
     with open("/proc/stat") as f:
@@ -234,6 +249,10 @@ def main() -> None:
                          "every level has one launched at 1-min load ≤ LOAD")
     ap.add_argument("--max-minutes", type=float, default=60,
                     help="time budget for --until-clean extra trials")
+    ap.add_argument("--min-membw", type=float, default=None, metavar="GBPS",
+                    help="also gate each trial on a 1-s memcpy probe reading "
+                         "at least GBPS GB/s (DRAM contention from co-tenant "
+                         "VMs is invisible to loadavg and the steal counter)")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--mode", default="cow", choices=["cow", "mor"])
     ap.add_argument("--worker-cpus", type=int, default=None)
@@ -261,13 +280,22 @@ def main() -> None:
         def run_trial(cpus: int) -> None:
             if args.wait_quiet is not None:
                 waited = 0.0
-                while os.getloadavg()[0] >= args.wait_quiet and waited < args.wait_max:
+                while waited < args.wait_max:
+                    quiet = os.getloadavg()[0] < args.wait_quiet
+                    bw_ok = (
+                        args.min_membw is None
+                        or not quiet  # don't burn memcpy probes while loud
+                        or _membw_gbps() >= args.min_membw
+                    )
+                    if quiet and bw_ok:
+                        break
                     time.sleep(20)
                     waited += 20
             # the 1-min load at launch is the trial's cleanliness
             # signal (load AFTER is polluted by the trial's own
             # threads for short trials)
             load_before = round(os.getloadavg()[0], 1)
+            membw_before = _membw_gbps() if args.min_membw is not None else None
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker-cpus", str(cpus),
                  "--log-dir", log_dir, "--n-buckets", str(args.n_buckets),
@@ -283,6 +311,8 @@ def main() -> None:
                 raise RuntimeError(f"worker local[{cpus}] failed")
             r = json.loads(line[len("WORKER_RESULT "):])
             r["load_before"] = load_before
+            if membw_before is not None:
+                r["membw_before_gbps"] = membw_before
             r["load_after"] = round(os.getloadavg()[0], 1)
             trials[cpus].append(r)
 
@@ -302,11 +332,16 @@ def main() -> None:
             t0 = time.time()
 
             def clean(c):
-                # clean = launched on a quiet loadavg AND the hypervisor
-                # robbed <10% of cycles during the timed window
+                # clean = launched on a quiet loadavg with healthy DRAM
+                # bandwidth (when gated) AND the hypervisor robbed <10%
+                # of cycles during the timed window
                 return any(
                     t["load_before"] <= args.until_clean
                     and t.get("steal_pct_of_busy", 0) <= 10
+                    and (
+                        args.min_membw is None
+                        or t.get("membw_before_gbps", 0) >= args.min_membw
+                    )
                     for t in trials[c]
                 )
 
