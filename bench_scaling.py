@@ -62,6 +62,34 @@ def build_spark(cpus: int, local_dir: str | None = None):
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # Scan splits sized so one epoch's segment files fan out to >=
+        # the wide level's thread count. Default 128m bin-packs the
+        # ~30MB segment files into ~8 splits: the scan+shuffle-map
+        # stage then runs 8-wide at BOTH levels — invisible at
+        # local[4], a 50-75% idle stage at local[16/32] (measured: the
+        # round-2 "engine doesn't scale" residual was partly this).
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # Writer-path allocation pressure (round-2 probe: the host's
+        # kernel page-alloc path collapses under many concurrent small
+        # writers): larger, fewer I/O buffers per shuffle/spill file.
+        .config("spark.shuffle.file.buffer", "1m")
+        .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+        .config("spark.io.compression.lz4.blockSize", "512k")
+        # tmpfs needs no checksum protection: LocalFileSystem writes a
+        # .crc shadow file per data file (2x file creates + extra page
+        # churn per bucket write); RawLocalFileSystem skips them.
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        # GC-thread fairness: JVM ergonomics size the GC pool off the
+        # VM's 32 advertised vCPUs at BOTH levels, so the local[4]
+        # worker silently offloads GC onto 20+ extra cores a real
+        # 4-core node would not have — inflating the narrow level's
+        # wall-clock and biasing measured efficiency DOWN. Cap GC
+        # threads at the level's core count, like a real N-core node.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ParallelGCThreads={cpus} -XX:ConcGCThreads={max(cpus // 4, 1)}",
+        )
         .appName(f"go_cdc_scaling_{cpus}")
     )
     if local_dir:
@@ -253,7 +281,12 @@ def main() -> None:
                     help="also gate each trial on a 1-s memcpy probe reading "
                          "at least GBPS GB/s (DRAM contention from co-tenant "
                          "VMs is invisible to loadavg and the steal counter)")
-    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument(
+        "--n-buckets", type=int, default=32,
+        help="32 (was 64): halves per-epoch file creates + parquet "
+             "writer-open cycles — the write path's page-alloc exposure "
+             "— while bucket files stay well under a task's memory",
+    )
     ap.add_argument("--mode", default="cow", choices=["cow", "mor"])
     ap.add_argument("--worker-cpus", type=int, default=None)
     ap.add_argument("--log-dir", default=None)
