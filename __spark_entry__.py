@@ -693,14 +693,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_winnow": (
             # Exact SQL twin of MOSS winnowing (k=8, window=4): the
-            # base-257 rolling hash is a plain weighted byte sum (max
-            # ≈ 1.5e17 < 2^63 — the uint64 wraparound in the Spark UDF
-            # never fires), and the docs are ASCII so unicode(char) ==
-            # utf-8 byte. Rightmost-min-per-window via a rank over the
-            # 4-gram self-join; then the same ubiquity cap
-            # (df ≤ max(ceil(0.005·n_docs), 100)) and ≥5-shared-fp pair
-            # join as go_cdc_spark.functions.dedup.winnow_near_pairs.
-            "WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents), "
+            # base-257 rolling hash is a plain weighted byte sum. Max
+            # for ASCII (byte ≤ 127): 127·Σ257^j(j<8) ≈ 9.4e18 — UNDER
+            # 2^64 ≈ 1.84e19, so the Spark UDF's uint64 arithmetic never
+            # wraps and DuckDB's HUGEINT computes the identical integer
+            # (it can exceed 2^63, which is fine: only hash-EQUALITY
+            # classes — shared-fp pair counts — are compared, never the
+            # signed-reinterpreted values). The guard CTE asserts the
+            # precondition: pure ASCII docs (octet_length == length and
+            # every codepoint ≤ 127 ⇒ unicode(char) == utf-8 byte and
+            # no wraparound) — a non-ASCII corpus fails LOUDLY via
+            # error() instead of silently diverging.
+            "WITH guard AS (SELECT CASE WHEN bool_or(octet_length(encode(text)) <> length(text)) "
+            "OR max(unicode(g.c)) > 127 THEN error('winnow oracle requires pure-ASCII docs') "
+            "ELSE 1 END AS ok FROM documents, LATERAL unnest(split(text, '')) AS g(c)), "
+            "d AS (SELECT doc_id, text, length(text) AS L FROM documents, guard WHERE guard.ok = 1), "
             "g AS (SELECT doc_id, CAST(t.i AS INT) AS i, "
             "list_sum(list_transform(range(8), j -> "
             "CAST(unicode(substr(text, CAST(t.i + j + 1 AS INT), 1)) AS HUGEINT) * "

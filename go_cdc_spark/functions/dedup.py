@@ -227,7 +227,9 @@ def _jaccard_dense_blocked(
     )
     both = a_side.unionByName(b_side)
 
-    def cross_score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def cross_score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        from go_cdc_spark.functions.similarity import _GEMM_ROW_CHUNK
+
         pair = int(key[0])
         diagonal = (pair // n_shards) == (pair % n_shards)
         left = pdf[pdf["role"] == 0]
@@ -251,25 +253,33 @@ def _jaccard_dense_blocked(
             np.frombuffer(b"".join(right["mask"]), dtype=np.uint8).reshape(len(right), -1),
             axis=1,
         )[:, :V].astype(np.float32)
-        inter = (la @ rb.T).astype(np.float64)
         sizes_a = left["size"].to_numpy().astype(np.float64)
         sizes_b = right["size"].to_numpy().astype(np.float64)
-        union = sizes_a[:, None] + sizes_b[None, :] - inter
-        with np.errstate(divide="ignore", invalid="ignore"):
-            jac = np.round(np.where(union > 0, inter / union, 0.0), 6)
-        ia, ib = np.nonzero(jac >= threshold)
-        a_ids = left["id"].to_numpy()[ia]
-        b_ids = right["id"].to_numpy()[ib]
-        vals = jac[ia, ib]
-        if diagonal:
-            # every pair appears twice (roles swapped) — keep one order
-            keep = a_ids < b_ids
-            a_ids, b_ids, vals = a_ids[keep], b_ids[keep], vals[keep]
-        else:
-            # disjoint shards: each pair appears once, in arbitrary id
-            # order — canonicalise, never filter
-            a_ids, b_ids = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
-        return pd.DataFrame({"doc_a": a_ids, "doc_b": b_ids, "jaccard": vals})
+        l_ids = left["id"].to_numpy()
+        r_ids = right["id"].to_numpy()
+        outs = []
+        # row-chunk the left side: caps the inter/union/jac temporaries
+        # at chunk × block_rows doubles instead of block_rows²
+        for lo in range(0, len(la), _GEMM_ROW_CHUNK):
+            hi = lo + _GEMM_ROW_CHUNK
+            inter = (la[lo:hi] @ rb.T).astype(np.float64)
+            union = sizes_a[lo:hi, None] + sizes_b[None, :] - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jac = np.round(np.where(union > 0, inter / union, 0.0), 6)
+            ia, ib = np.nonzero(jac >= threshold)
+            a_ids = l_ids[lo:hi][ia]
+            b_ids = r_ids[ib]
+            vals = jac[ia, ib]
+            if diagonal:
+                # every pair appears twice (roles swapped) — keep one order
+                keep = a_ids < b_ids
+                a_ids, b_ids, vals = a_ids[keep], b_ids[keep], vals[keep]
+            else:
+                # disjoint shards: each pair appears once, in arbitrary id
+                # order — canonicalise, never filter
+                a_ids, b_ids = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
+            outs.append(pd.DataFrame({"doc_a": a_ids, "doc_b": b_ids, "jaccard": vals}))
+        return pd.concat(outs, ignore_index=True)
 
     return both.groupBy("pair").applyInPandas(cross_score, schema=_PAIRS_SCHEMA)
 
@@ -325,10 +335,18 @@ def jaccard_pairs(
     dfreq = toks.groupBy("token").agg(F.count("*").alias("_df"))
     vocab = [r["token"] for r in dfreq.select("token").limit(dense_vocab_max + 1).collect()]
     if len(vocab) <= dense_vocab_max:
-        if df.select(id_col).count() <= dense_driver_max_docs:
+        # limit-probe gate (stops at the threshold row — no full scan);
+        # only the blocked regime pays for an exact count, which then
+        # sizes the shard grid so per-task GEMM blocks stay bounded
+        probe = df.select(id_col).limit(dense_driver_max_docs + 1).count()
+        if probe <= dense_driver_max_docs:
             return _jaccard_dense(df, sorted(vocab), threshold, text_col, id_col)
+        from go_cdc_spark.functions.similarity import _scaled_shards
+
+        n_docs = df.select(id_col).count()
         return _jaccard_dense_blocked(
-            df, sorted(vocab), threshold, text_col, id_col, n_shards=dense_shards
+            df, sorted(vocab), threshold, text_col, id_col,
+            n_shards=_scaled_shards(n_docs, dense_shards),
         )
     posts = toks.join(dfreq, "token")
     w = Window.partitionBy(id_col).orderBy("_df", "token")
@@ -400,51 +418,51 @@ def minhash_signatures(
     id_col: str = "doc_id",
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signature per doc over word ``shingle_len``-grams.
+    """MinHash signature per doc over word ``shingle_len``-grams —
+    entirely JVM-side Column expressions, zero Python in the hot path
+    (the previous version ran per-shingle ``blake2b`` inside a pandas
+    UDF — the repo's last per-item Python loop).
 
-    Vectorized pandas UDF: each Arrow batch is shingled and hashed with
-    numpy matrix ops (no per-row Python loops beyond shingling itself,
-    which is a C-speed pandas str op chain + python-level shingle
-    assembly per doc — acceptable because docs are the batch unit).
+    Shingling is a higher-order ``transform``+``slice`` over the token
+    array; the shingle id is the first 60 bits of ``sha2(shingle, 256)``
+    reduced mod p = 2³¹−1 (60 bits parse exactly into a signed long via
+    ``conv``, and sha256 is reproducible in ANSI SQL, which is what
+    makes the DuckDB oracle twin possible); signature position i is
+    ``array_min`` of the universal hash (aᵢ·x + bᵢ) mod p — products
+    stay < 2⁶² so the whole grid is native long arithmetic.
     """
     a, b = _hash_params(n_hashes, seed)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    shingles = F.when(
+        F.size(toks) >= shingle_len,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - shingle_len + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_len)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    sh_ids = F.transform(
+        shingles,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long"),
+            F.lit(_MERSENNE_P),
+        ),
+    )
+    base = df.select(F.col(id_col), sh_ids.alias("_sh"))
 
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("signature", T.ArrayType(T.LongType())),
+    def _uh(ai: int, bi: int):
+        # factory keeps the lambda unary (PySpark counts lambda params)
+        return lambda x: F.pmod(F.lit(ai) * x + F.lit(bi), F.lit(_MERSENNE_P))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_sh"), _uh(int(ai), int(bi))))
+            for ai, bi in zip(a, b)
         ]
     )
-
-    def compute(it):
-        for pdf in it:
-            ids, sigs = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = str(text).lower().split()
-                if len(toks) < shingle_len:
-                    shingles = [" ".join(toks)] if toks else [""]
-                else:
-                    shingles = [
-                        " ".join(toks[i : i + shingle_len])
-                        for i in range(len(toks) - shingle_len + 1)
-                    ]
-                # stable shingle ids reduced mod p (int64-safe products)
-                sh = (
-                    np.array([hash_str(s) for s in shingles], dtype=np.int64)
-                    % _MERSENNE_P
-                )
-                # (n_hashes, n_shingles) universal hashing, min over shingles
-                vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE_P
-                sigs.append(np.min(vals, axis=1))
-                ids.append(doc_id)
-            yield pd.DataFrame({id_col: ids, "signature": [list(map(int, s)) for s in sigs]})
-
-    import hashlib
-
-    def hash_str(s: str) -> int:
-        return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") >> 1
-
-    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+    return base.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -600,10 +618,21 @@ def winnow_near_pairs(
 # ---------------- SimHash ----------------
 
 
+def _simhash_bits(hash_mode: str) -> int:
+    """Signature width per token-hash primitive: xxhash64 fills all 64
+    bits; the sha256 oracle mode parses the digest's first 15 hex chars
+    (60 bits — the widest prefix that fits a signed long in both Spark
+    ``conv`` and DuckDB's hex cast)."""
+    return 64 if hash_mode == "xxhash64" else 60
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per doc (token-hash bit-vote) — entirely JVM-side.
+    """SimHash per doc (token-hash bit-vote) — entirely JVM-side.
 
     Tokens explode once, each token hashes with ``xxhash64`` (codegen),
     and the 64 per-bit votes are 64 map-side-combined sum aggregations:
@@ -614,22 +643,34 @@ def simhash_signatures(
     uses ``shiftleft`` wraparound so the reassembled long carries the
     two's-complement pattern. Token-less docs keep signature 0 via the
     left join back to the id set.
+
+    ``hash_mode="sha256"`` swaps the token hash for the first 60 bits
+    of ``sha2(token, 256)`` — same votes, same blocking, but every step
+    is ANSI-SQL-reproducible, which is what the DuckDB correctness
+    oracle runs. xxhash64 stays the production default (one codegen'd
+    long vs a 64-hex digest + parse per token).
     """
+    n_bits = _simhash_bits(hash_mode)
+    token_hash = (
+        F.xxhash64("_tok")
+        if hash_mode == "xxhash64"
+        else F.conv(F.substring(F.sha2("_tok", 256), 1, 15), 16, 10).cast("long")
+    )
     toks = (
         df.select(
             F.col(id_col),
             F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
         )
         .filter(F.length("_tok") > 0)
-        .withColumn("_th", F.xxhash64("_tok"))
+        .withColumn("_th", token_hash)
     )
     bit_sums = [
         F.sum(F.shiftrightunsigned("_th", i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     votes = toks.groupBy(id_col).agg(F.count("*").alias("_n"), *bit_sums)
     sig = None
-    for i in range(64):
+    for i in range(n_bits):
         term = F.when(
             F.col(f"_b{i}") * 2 > F.col("_n"),
             F.shiftleft(F.lit(1).cast("long"), i),
@@ -648,18 +689,18 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole blocking: split the 64-bit signature into
-    ``max_hamming+1`` chunks — any pair within the distance budget
-    shares at least one identical chunk, so the join is per-block,
-    never all-pairs.
+    Pigeonhole blocking: split the signature into ``max_hamming+1``
+    chunks — any pair within the distance budget shares at least one
+    identical chunk, so the join is per-block, never all-pairs.
     """
     n_chunks = max_hamming + 1
-    width = -(-64 // n_chunks)  # ceil
+    width = -(-_simhash_bits(hash_mode) // n_chunks)  # ceil
     mask = (1 << width) - 1
-    sigs = simhash_signatures(df, text_col, id_col)
+    sigs = simhash_signatures(df, text_col, id_col, hash_mode)
     chunks = sigs.select(
         id_col,
         "simhash",

@@ -170,55 +170,86 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_sample: int = 200_000,
+    init_hash: str = "xxhash64",
 ) -> np.ndarray:
     """Spherical k-means centroids (L2-normalized, cosine objective).
 
     Deterministic init: the ``n_centroids`` vectors with the smallest
-    ``xxhash64(id, seed)`` (a seeded uniform sample, no RNG state).
-    Each Lloyd iteration is ONE distributed pass: a vectorized pandas
-    UDF (numpy GEMM per Arrow batch) emits per-partition partial sums
+    hash of (id, seed) — ``xxhash64`` by default, or the hex digest of
+    ``sha2(id || ':' || seed)`` when ``init_hash="sha256"`` (the
+    ANSI-SQL-reproducible mode the DuckDB oracle twin uses). Each Lloyd
+    iteration is ONE distributed pass: a vectorized pandas UDF (numpy
+    GEMM per Arrow batch) emits per-partition partial sums
     (≤ n_centroids rows per partition), and the driver finishes the
     tiny reduce — O(n_centroids × dim) driver state, never the vectors.
+
+    Training runs on a deterministic hash-sampled subset of at most
+    ~``train_sample`` rows, cached across the ``n_iters`` passes —
+    centroid quality needs a representative sample, not the corpus, so
+    a 100 TB input pays ONE sampling scan + n_iters cheap passes over
+    the cached sample instead of n_iters full-corpus scans. The final
+    assignment pass (in the caller) stays full-corpus.
     """
+    if init_hash == "sha256":
+        init_order = F.sha2(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))), 256
+        )
+    else:
+        init_order = F.xxhash64(F.col(id_col), F.lit(seed))
     init_rows = (
-        df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(n_centroids)
-        .collect()
+        df.select(id_col, vec_col).orderBy(init_order).limit(n_centroids).collect()
     )
     cents = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in init_rows])
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    if n_iters <= 0:
+        return cents
 
-    part_schema = T.StructType(
-        [
-            T.StructField("cid", T.IntegerType()),
-            T.StructField("vsum", T.ArrayType(T.DoubleType())),
-            T.StructField("n", T.LongType()),
-        ]
-    )
-    for _ in range(n_iters):
-        c = cents  # closure-capture this iteration's centroids
+    # deterministic sample: keep ids whose hash lands under the target
+    # fraction's bucket cut (limit-probe the size first — cheap gate)
+    n_total = df.select(id_col).limit(train_sample + 1).count()
+    train = df.select(id_col, vec_col)
+    if n_total > train_sample:
+        n_docs = df.select(id_col).count()
+        buckets = 1_000_000
+        cut = max(1, int(buckets * train_sample / n_docs))
+        train = train.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.lit(buckets)) < cut
+        )
+    train = train.persist()
+    try:
+        part_schema = T.StructType(
+            [
+                T.StructField("cid", T.IntegerType()),
+                T.StructField("vsum", T.ArrayType(T.DoubleType())),
+                T.StructField("n", T.LongType()),
+            ]
+        )
+        for _ in range(n_iters):
+            c = cents  # closure-capture this iteration's centroids
 
-        def partials(it, c=c):
-            for pdf in it:
-                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-                norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-                assign = np.argmax((mat / norms) @ c.T, axis=1)
-                rows = []
-                for cid in np.unique(assign):
-                    sel = mat[assign == cid]
-                    rows.append((int(cid), sel.sum(axis=0).tolist(), len(sel)))
-                yield pd.DataFrame(rows, columns=["cid", "vsum", "n"])
+            def partials(it, c=c):
+                for pdf in it:
+                    mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                    assign = np.argmax((mat / norms) @ c.T, axis=1)
+                    rows = []
+                    for cid in np.unique(assign):
+                        sel = mat[assign == cid]
+                        rows.append((int(cid), sel.sum(axis=0).tolist(), len(sel)))
+                    yield pd.DataFrame(rows, columns=["cid", "vsum", "n"])
 
-        parts = df.select(vec_col).mapInPandas(partials, schema=part_schema).collect()
-        sums = np.zeros_like(cents)
-        counts = np.zeros(len(cents), dtype=np.int64)
-        for r in parts:
-            sums[r["cid"]] += np.asarray(r["vsum"])
-            counts[r["cid"]] += r["n"]
-        nz = counts > 0
-        cents[nz] = sums[nz] / counts[nz, None]
-        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+            parts = train.select(vec_col).mapInPandas(partials, schema=part_schema).collect()
+            sums = np.zeros_like(cents)
+            counts = np.zeros(len(cents), dtype=np.int64)
+            for r in parts:
+                sums[r["cid"]] += np.asarray(r["vsum"])
+                counts[r["cid"]] += r["n"]
+            nz = counts > 0
+            cents[nz] = sums[nz] / counts[nz, None]
+            cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    finally:
+        train.unpersist()
     return cents
 
 
@@ -237,7 +268,9 @@ def _nearest_centroids(
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = (mat / norms) @ cents.T  # (n, n_centroids)
-            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            # stable sort: ties break toward the lower cid, matching the
+            # SQL oracle's ORDER BY sim DESC, cid ASC tie-break
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
             yield pd.DataFrame({id_col: ids, "cid": top.ravel().astype(np.int32)})
 
@@ -254,16 +287,26 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_sample: int = 200_000,
+    init_hash: str = "xxhash64",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means-partition the corpus, probe
     only the ``n_probe`` closest cells per query, exact cosine re-rank.
 
     The scale path alongside :func:`lsh_ann_topk`: candidate volume
-    shrinks ~(n_centroids / n_probe)-fold. The corpus is scanned twice
-    (train + assign) and the cell join is a broadcast of the exploded
-    query probes — the corpus vectors themselves never shuffle.
+    shrinks ~(n_centroids / n_probe)-fold. Training scans a cached
+    hash-sample (never the full corpus n_iters times), the one full
+    assignment pass is a single scan, and the cell join is a broadcast
+    of the exploded query probes — the corpus vectors never shuffle.
+
+    ``n_iters=0`` + ``init_hash="sha256"`` is the oracle mode: init-only
+    centroids whose every step (init ordering, normalization, argmax
+    assignment, probe ranking, re-rank) is reproducible in ANSI SQL —
+    the DuckDB correctness twin runs exactly that.
     """
-    cents = kmeans_centroids(corpus, n_centroids, n_iters, id_col, vec_col, seed)
+    cents = kmeans_centroids(
+        corpus, n_centroids, n_iters, id_col, vec_col, seed, train_sample, init_hash
+    )
     c_cell = _nearest_centroids(corpus, cents, 1, id_col, vec_col)
     c = corpus.join(c_cell, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cid"
@@ -318,9 +361,21 @@ def near_dup_by_cosine(
       spreads over n_shards·(n_shards+1)/2 tasks. Still exact — use
       :func:`lsh_ann_topk` / :func:`ivf_ann_topk` when approximate
       top-k is acceptable and N² itself is the problem.
+
+    The regime gate is a ``limit(max_broadcast_rows + 1)`` probe, not a
+    full count — it stops scanning as soon as the threshold row exists,
+    so a cheap gate precedes an expensive op instead of doubling it.
+    In the blocked regime the exact count IS taken (trivial next to the
+    O(N²) compare it sizes) and ``n_shards`` scales with it so each
+    block stays ~``target_block_rows`` rows: worker memory per task is
+    then O(target_block² · 8 B) regardless of corpus size — a fixed 32
+    shards would OOM executors near 1M docs (per-group sims matrix
+    (N/32)² · 8 B ≈ 7.8 GB).
     """
-    if df.select(id_col).count() > max_broadcast_rows:
-        return _near_dup_cosine_blocked(df, threshold, id_col, vec_col, n_shards)
+    if df.select(id_col).limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
+        n_docs = df.select(id_col).count()
+        shards = _scaled_shards(n_docs, n_shards)
+        return _near_dup_cosine_blocked(df, threshold, id_col, vec_col, shards)
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     if len(ids) == 0:
@@ -357,6 +412,23 @@ def near_dup_by_cosine(
             )
 
     return df.select(id_col, vec_col).mapInPandas(compute, schema=out_schema)
+
+
+def _scaled_shards(
+    n_docs: int, n_shards_min: int, target_block_rows: int = 25_000
+) -> int:
+    """Shard count for the block-nested-loop paths: at least the
+    configured floor, and enough that each shard holds ~``target_block_
+    rows`` docs — bounding per-task GEMM temporaries to
+    O(target_block² · 8 B) (~5 GB sims matrix at 25k, further row-
+    chunked inside the verifier) no matter how large the corpus is."""
+    return max(n_shards_min, -(-n_docs // target_block_rows))
+
+
+# Left-side row-chunk for the per-group GEMMs: bounds the largest
+# temporary to chunk × block_rows doubles (4096 × 25k × 8 B ≈ 800 MB)
+# instead of block_rows² (~5 GB at the 25k target block).
+_GEMM_ROW_CHUNK = 4096
 
 
 def _near_dup_cosine_blocked(
@@ -404,7 +476,7 @@ def _near_dup_cosine_blocked(
         ]
     )
 
-    def cross_score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def cross_score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pair = int(key[0])
         diagonal = (pair // n_shards) == (pair % n_shards)
         left = pdf[pdf["role"] == 0]
@@ -417,20 +489,30 @@ def _near_dup_cosine_blocked(
                     "cos_sim": np.array([], dtype=np.float64),
                 }
             )
+        # FP parity with the broadcast path (and the DuckDB oracle):
+        # un-normalized GEMM then divide-by-norms, threshold the
+        # UNROUNDED value, round only the survivors — identical
+        # operation order ⇒ identical pair sets at regime boundaries.
         la = np.vstack(left["v"].to_numpy()).astype(np.float64)
-        la /= np.maximum(np.linalg.norm(la, axis=1, keepdims=True), 1e-12)
+        na = np.maximum(np.linalg.norm(la, axis=1), 1e-12)
         rb = np.vstack(right["v"].to_numpy()).astype(np.float64)
-        rb /= np.maximum(np.linalg.norm(rb, axis=1, keepdims=True), 1e-12)
-        sims = np.round(la @ rb.T, 6)
-        ia, ib = np.nonzero(sims >= threshold)
-        a_ids = left["id"].to_numpy()[ia]
-        b_ids = right["id"].to_numpy()[ib]
-        vals = sims[ia, ib]
-        if diagonal:
-            keep = a_ids < b_ids
-            a_ids, b_ids, vals = a_ids[keep], b_ids[keep], vals[keep]
-        else:
-            a_ids, b_ids = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
-        return pd.DataFrame({"doc_a": a_ids, "doc_b": b_ids, "cos_sim": vals})
+        nb = np.maximum(np.linalg.norm(rb, axis=1), 1e-12)
+        l_ids = left["id"].to_numpy()
+        r_ids = right["id"].to_numpy()
+        outs = []
+        for lo in range(0, len(la), _GEMM_ROW_CHUNK):
+            hi = lo + _GEMM_ROW_CHUNK
+            sims = (la[lo:hi] @ rb.T) / (na[lo:hi, None] * nb[None, :])
+            ia, ib = np.nonzero(sims >= threshold)
+            a_ids = l_ids[lo:hi][ia]
+            b_ids = r_ids[ib]
+            vals = np.round(sims[ia, ib], 6)
+            if diagonal:
+                keep = a_ids < b_ids
+                a_ids, b_ids, vals = a_ids[keep], b_ids[keep], vals[keep]
+            else:
+                a_ids, b_ids = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
+            outs.append(pd.DataFrame({"doc_a": a_ids, "doc_b": b_ids, "cos_sim": vals}))
+        return pd.concat(outs, ignore_index=True)
 
     return both.groupBy("pair").applyInPandas(cross_score, schema=out_schema)

@@ -452,7 +452,16 @@ class ParquetLakeTable:
 
     def overwrite(self, df: DataFrame, epoch_key: str) -> CommitStats:
         """Snapshot stage: replace the whole table (≙ Dumper truncate +
-        full dump, reference dumper.go:140-163). Idempotent on epoch_key."""
+        full dump, reference dumper.go:140-163).
+
+        Idempotent on epoch_key over the RECENT commit window only (the
+        manifest spills old epoch keys; after a spill the last
+        EPOCHS_RECENT_MAX//2 keys are checked here). Orchestrated
+        callers (replay_chunked / streaming) are covered for the full
+        history via ``committed_epochs()``; a direct caller replaying
+        an epoch older than the window must consult
+        ``committed_epochs()`` itself (O(history) manifest reads) if it
+        needs full-history idempotence."""
         m = self.manifest()
         if epoch_key in m["epochs"]:  # recent-window dup check; old epochs are skipped at orchestration via committed_epochs()
             return CommitStats(m["version"], epoch_key, applied=False)
