@@ -438,7 +438,13 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (vectorized-UDF op; not ANSI-SQL-expressible)."""
+    """Exact-oracle checked: signatures are now JVM Column expressions
+    whose shingle ids come from sha2(), so the DuckDB twin replays the
+    whole chain — shingling, universal hashing (same inlined a/b
+    constants), banding (slice equality; Spark compacts the band key
+    through xxhash64, an implementation detail that cannot change the
+    pair set short of a 64-bit collision), and the estimate, which is
+    an exact multiple of 1/64."""
     from go_cdc_spark.functions.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -447,10 +453,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (vectorized-UDF op)."""
+    """Exact-oracle checked via the sha256 hash mode: the 60-bit
+    digest-prefix token hash, bit votes, pigeonhole chunks, and hamming
+    filter are all integer-exact and reproduced verbatim by the DuckDB
+    twin. Production pipelines keep the default xxhash64 mode (same
+    algorithm, one codegen'd long per token instead of a hex digest);
+    exact bit-vote parity between the two modes is pinned by
+    tests/test_functions.py."""
     from go_cdc_spark.functions.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, hash_mode="sha256")
 
 
 def q_sim_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,7 +480,11 @@ def q_sim_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (approximate by construction)."""
+    """Exact-oracle checked: the random hyperplanes are deterministic
+    from the seed, and the DuckDB twin inlines the SAME plane constants
+    (full float64 repr round-trip) — signatures, bucket join, and the
+    exact cosine re-rank are replayed step for step. Recall quality vs
+    brute force is separately pinned by tests/test_functions.py."""
     from go_cdc_spark.functions.similarity import lsh_ann_topk
 
     emb = _emb(spark, sf_dir)
@@ -477,12 +493,22 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (approximate by construction)."""
+    """Exact-oracle checked in init-only mode (n_iters=0 + sha256 init
+    ordering): centroid selection, L2 normalization, argmax cell
+    assignment (stable ties → lower cid), n_probe ranking, and the
+    exact cosine re-rank are all reproduced by the DuckDB twin. Lloyd
+    iterations deliberately stay OUT of the oracle — their centroid
+    means are FP-accumulation-order sensitive across engines — and are
+    instead pinned by the production-mode recall gate in
+    tests/test_functions.py."""
     from go_cdc_spark.functions.similarity import ivf_ann_topk
 
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return ivf_ann_topk(emb, queries_df, k=10, n_centroids=16, n_probe=6)
+    return ivf_ann_topk(
+        emb, queries_df, k=10, n_centroids=16, n_probe=6,
+        n_iters=0, init_hash="sha256",
+    )
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,6 +571,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": q_sim_ann_ivf,
         "mm_features": q_mm_features,
     }
+
+
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _minhash_oracle_sql(n_hashes=64, bands=16, shingle_len=3, threshold=0.8, seed=42) -> str:
+    """DuckDB twin of q_dedup_minhash_lsh: identical shingling, sha256
+    shingle ids, the SAME universal-hash constants inlined from
+    _hash_params(seed), band-slice equality join, and the 1/64-exact
+    estimate. Must track go_cdc_spark.functions.dedup.minhash_signatures
+    / minhash_lsh_pairs step for step."""
+    from go_cdc_spark.functions.dedup import _hash_params
+
+    a, b = _hash_params(n_hashes, seed)
+    rows_per_band = n_hashes // bands
+    params = ", ".join(
+        f"({i}, {int(ai)}, {int(bi)})" for i, (ai, bi) in enumerate(zip(a, b))
+    )
+    k, p = shingle_len, _MERSENNE_P
+    return (
+        f"WITH hp(i, a, b) AS (VALUES {params}), "
+        "tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        "t -> len(t) > 0) AS toks FROM documents), "
+        f"sh AS (SELECT doc_id, CASE WHEN len(toks) >= {k} THEN "
+        f"list_transform(range(1, len(toks) - {k} + 2), i -> array_to_string(toks[i:i+{k - 1}], ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END AS shingles FROM tk), "
+        "ids AS (SELECT doc_id, list_transform(shingles, s -> "
+        f"('0x' || substr(sha256(s), 1, 15))::BIGINT % {p}) AS sh_ids FROM sh), "
+        "sigv AS (SELECT doc_id, hp.i, "
+        f"list_min(list_transform(sh_ids, x -> (hp.a * x + hp.b) % {p})) AS v "
+        "FROM ids, hp), "
+        "sigs AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sigv GROUP BY doc_id), "
+        f"bands AS (SELECT doc_id, sig, j, array_to_string(sig[j*{rows_per_band}+1 : "
+        f"j*{rows_per_band}+{rows_per_band}], ',') AS bkey "
+        f"FROM sigs, LATERAL unnest(range({bands})) t(j)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "a.sig AS sig_a, b.sig AS sig_b FROM bands a JOIN bands b "
+        "ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id), "
+        "est AS (SELECT doc_a, doc_b, round(len(list_filter(range(1, "
+        f"{n_hashes + 1}), i -> sig_a[i] = sig_b[i])) / {n_hashes}.0, 6) AS est_jaccard FROM cand) "
+        f"SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}"
+    )
+
+
+def _simhash_oracle_sql(max_hamming=3, n_bits=60) -> str:
+    """DuckDB twin of q_dedup_simhash (sha256 mode): 60-bit
+    digest-prefix token hashes, strict-majority bit votes, pigeonhole
+    chunk join, hamming filter — all integer-exact. Tracks
+    go_cdc_spark.functions.dedup.simhash_signatures / simhash_near_pairs."""
+    n_chunks = max_hamming + 1
+    width = -(-n_bits // n_chunks)
+    mask = (1 << width) - 1
+    bit_sums = ", ".join(f"sum((h >> {i}) & 1) AS b{i}" for i in range(n_bits))
+    sig_terms = " + ".join(
+        f"(CASE WHEN 2*b{i} > n THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return (
+        "WITH tk AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+        "lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok FROM documents), "
+        "th AS (SELECT doc_id, ('0x' || substr(sha256(tok), 1, 15))::BIGINT AS h FROM tk), "
+        f"votes AS (SELECT doc_id, count(*) AS n, {bit_sums} FROM th GROUP BY doc_id), "
+        f"sigs0 AS (SELECT doc_id, {sig_terms} AS sig FROM votes), "
+        "sigs AS (SELECT d.doc_id, coalesce(s.sig, 0::BIGINT) AS sig FROM documents d "
+        "LEFT JOIN sigs0 s USING (doc_id)), "
+        f"chunks AS (SELECT doc_id, sig, k, (sig >> (CAST(k AS INT) * {width})) & {mask} AS cv "
+        f"FROM sigs, LATERAL unnest(range({n_chunks})) t(k)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "a.sig AS ha, b.sig AS hb FROM chunks a JOIN chunks b "
+        "ON a.k = b.k AND a.cv = b.cv AND a.doc_id < b.doc_id) "
+        "SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming "
+        f"FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"
+    )
+
+
+def _lsh_ann_oracle_sql(n_bits=4, dim=64, seed=42, n_tables=8, k=10, max_query_id=5) -> str:
+    """DuckDB twin of q_sim_ann_lsh: the SAME RandomState(seed) planes
+    are inlined as literals (repr round-trips float64 exactly), bits by
+    sign of the projection, per-table bucket join, exact cosine
+    re-rank with the (cos DESC, neighbor_id) tie-break. Tracks
+    go_cdc_spark.functions.similarity.hyperplane_signatures/lsh_ann_topk."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((n_tables, dim, n_bits))
+    vals = ", ".join(
+        f"({t}, {d}, {j}, {planes[t, d, j]!r})"
+        for t in range(n_tables)
+        for d in range(dim)
+        for j in range(n_bits)
+    )
+    return (
+        f"WITH pl(t, d, j, w) AS (VALUES {vals}), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "comp AS (SELECT e.vec_id, pl.t, pl.j, sum(e.v[pl.d + 1] * pl.w) AS s "
+        "FROM e, pl GROUP BY 1, 2, 3), "
+        "bits AS (SELECT vec_id, t, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) "
+        "ELSE 0::BIGINT END) AS bucket FROM comp GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+        "FROM bits q JOIN bits c ON q.t = c.t AND q.bucket = c.bucket "
+        f"WHERE q.vec_id < {max_query_id} AND c.vec_id <> q.vec_id), "
+        "scored AS (SELECT cand.query_id, cand.neighbor_id, "
+        "list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * "
+        "sqrt(list_dot_product(ce.v, ce.v))) AS cos "
+        "FROM cand JOIN e qe ON qe.vec_id = cand.query_id "
+        "JOIN e ce ON ce.vec_id = cand.neighbor_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id) AS rn FROM scored) "
+        "SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim, "
+        f"CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= {k}"
+    )
+
+
+def _ivf_ann_oracle_sql(n_centroids=16, n_probe=6, seed=42, k=10, max_query_id=5) -> str:
+    """DuckDB twin of q_sim_ann_ivf (init-only oracle mode): sha256
+    init ordering, unit-normalized centroids, argmax assignment with
+    (sim DESC, cid) ties, n_probe query cells, exact cosine re-rank.
+    Tracks go_cdc_spark.functions.similarity.kmeans_centroids(n_iters=0)
+    + _nearest_centroids + ivf_ann_topk."""
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "init AS (SELECT vec_id, v, row_number() OVER (ORDER BY "
+        f"sha256(CAST(vec_id AS VARCHAR) || ':{seed}')) AS rn FROM e), "
+        "cents AS (SELECT rn - 1 AS cid, list_transform(v, x -> "
+        "x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS c "
+        f"FROM init WHERE rn <= {n_centroids}), "
+        "en AS (SELECT vec_id, v, list_transform(v, x -> "
+        "x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS vn FROM e), "
+        "sims AS (SELECT en.vec_id, cents.cid, "
+        "list_dot_product(en.vn, cents.c) AS sim FROM en, cents), "
+        "asg AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY sim DESC, cid) AS rn FROM sims), "
+        "c_cell AS (SELECT vec_id AS neighbor_id, cid FROM asg WHERE rn = 1), "
+        f"q_cell AS (SELECT vec_id AS query_id, cid FROM asg WHERE rn <= {n_probe} "
+        f"AND vec_id < {max_query_id}), "
+        "cand AS (SELECT q.query_id, c.neighbor_id FROM q_cell q "
+        "JOIN c_cell c USING (cid) WHERE c.neighbor_id <> q.query_id), "
+        "scored AS (SELECT cand.query_id, cand.neighbor_id, "
+        "list_dot_product(qe.v, ce.v) / (sqrt(list_dot_product(qe.v, qe.v)) * "
+        "sqrt(list_dot_product(ce.v, ce.v))) AS cos "
+        "FROM cand JOIN e qe ON qe.vec_id = cand.query_id "
+        "JOIN e ce ON ce.vec_id = cand.neighbor_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id) AS rn FROM scored) "
+        "SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim, "
+        f"CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= {k}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -748,8 +920,13 @@ def oracle_sql() -> dict[str, str]:
             "h AS (SELECT media_id, kind, sha256(lower(hex(payload))) AS payload_sha FROM m) "
             "SELECT media_id, kind, payload_sha, sha256(payload_sha) AS features_sha FROM h"
         ),
-        # dedup_minhash_lsh, dedup_simhash, sim_ann_lsh, sim_ann_ivf:
-        # intentionally omitted — approximate by construction; the driver
-        # records a rows-only check and pytest recall gates vs their exact
-        # counterparts assert quality (tests/test_functions.py).
+        # approximate ops, exact twins: "approximate" describes their
+        # relation to true Jaccard / true top-k, not nondeterminism —
+        # with fixed seeds every step is reproducible, so each gets a
+        # full DuckDB twin (recall quality vs the exact counterparts is
+        # separately pinned by tests/test_functions.py)
+        "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(),
+        "sim_ann_lsh": _lsh_ann_oracle_sql(),
+        "sim_ann_ivf": _ivf_ann_oracle_sql(),
     }
