@@ -489,7 +489,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return lsh_ann_topk(emb, queries_df, k=10, n_bits=4, n_tables=8)
+    return lsh_ann_topk(emb, queries_df, k=10, n_bits=3, n_tables=16)
 
 
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,7 +506,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5)
     return ivf_ann_topk(
-        emb, queries_df, k=10, n_centroids=16, n_probe=6,
+        emb, queries_df, k=10, n_centroids=16, n_probe=12,
         n_iters=0, init_hash="sha256",
     )
 
@@ -927,6 +927,6 @@ def oracle_sql() -> dict[str, str]:
         # separately pinned by tests/test_functions.py)
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
-        "sim_ann_lsh": _lsh_ann_oracle_sql(),
-        "sim_ann_ivf": _ivf_ann_oracle_sql(),
+        "sim_ann_lsh": _lsh_ann_oracle_sql(n_bits=3, n_tables=16),
+        "sim_ann_ivf": _ivf_ann_oracle_sql(n_probe=12),
     }
