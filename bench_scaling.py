@@ -62,36 +62,51 @@ def build_spark(cpus: int, local_dir: str | None = None):
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        .appName(f"go_cdc_scaling_{cpus}")
+    )
+    # Write-path / fairness knob set, individually A/B-able via
+    # SPARK_GRAFT_TUNE (comma-set of {split,buf,rawfs,gc}; default all
+    # on). An r3 A/B on a quiet box isolated which of these help and
+    # which hurt the wide level — see BENCH/BASELINE.md.
+    tune = set(
+        os.environ.get("SPARK_GRAFT_TUNE", "split,buf,rawfs,gc").split(",")
+    )
+    if "split" in tune:
         # Scan splits sized so one epoch's segment files fan out to >=
         # the wide level's thread count. Default 128m bin-packs the
         # ~30MB segment files into ~8 splits: the scan+shuffle-map
         # stage then runs 8-wide at BOTH levels — invisible at
-        # local[4], a 50-75% idle stage at local[16/32] (measured: the
-        # round-2 "engine doesn't scale" residual was partly this).
-        .config("spark.sql.files.maxPartitionBytes", "32m")
-        .config("spark.sql.files.openCostInBytes", "1m")
+        # local[4], a 50-75% idle stage at local[16/32].
+        b = b.config("spark.sql.files.maxPartitionBytes", "32m").config(
+            "spark.sql.files.openCostInBytes", "1m"
+        )
+    if "buf" in tune:
         # Writer-path allocation pressure (round-2 probe: the host's
         # kernel page-alloc path collapses under many concurrent small
         # writers): larger, fewer I/O buffers per shuffle/spill file.
-        .config("spark.shuffle.file.buffer", "1m")
-        .config("spark.shuffle.unsafe.file.output.buffer", "1m")
-        .config("spark.io.compression.lz4.blockSize", "512k")
+        b = (
+            b.config("spark.shuffle.file.buffer", "1m")
+            .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+            .config("spark.io.compression.lz4.blockSize", "512k")
+        )
+    if "rawfs" in tune:
         # tmpfs needs no checksum protection: LocalFileSystem writes a
         # .crc shadow file per data file (2x file creates + extra page
         # churn per bucket write); RawLocalFileSystem skips them.
-        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        b = b.config(
+            "spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem"
+        )
+    if "gc" in tune:
         # GC-thread fairness: JVM ergonomics size the GC pool off the
         # VM's 32 advertised vCPUs at BOTH levels, so the local[4]
         # worker silently offloads GC onto 20+ extra cores a real
         # 4-core node would not have — inflating the narrow level's
         # wall-clock and biasing measured efficiency DOWN. Cap GC
         # threads at the level's core count, like a real N-core node.
-        .config(
+        b = b.config(
             "spark.driver.extraJavaOptions",
             f"-XX:ParallelGCThreads={cpus} -XX:ConcGCThreads={max(cpus // 4, 1)}",
         )
-        .appName(f"go_cdc_scaling_{cpus}")
-    )
     if local_dir:
         # shuffle/spill on the same medium as the data: on a cluster every
         # executor has local shuffle disks; one shared virtio disk here
