@@ -443,6 +443,66 @@ class ParquetLakeTable:
                 shutil.rmtree(vpath, ignore_errors=True)
         return removed
 
+    def compact(self, buckets: list[int] | None = None) -> CommitStats:
+        """Fold base+deltas of every delta-carrying bucket into a fresh
+        base file set (≙ Iceberg ``rewrite_data_files`` / Hudi offline
+        compaction). Merge-on-read ingest defers the LWW fold to every
+        reader; running this once after an ingest burst pays that cost
+        one time, so subsequent reads scan exactly one base file set per
+        bucket with no read-side reduce.
+
+        ``buckets`` limits the pass (maintenance can walk the table in
+        waves — at 100 TB compacting all buckets in one job is one giant
+        shuffle; per-wave calls keep each job O(wave) and each commit
+        atomic). Tombstones are preserved: they still shield deleted
+        keys from resurrection by late out-of-order events. No-op (and
+        no new version) on cow tables or when nothing has deltas.
+        Idempotent per table version — the commit's epoch key embeds the
+        version it compacted, so a crashed-and-retried pass re-runs
+        against the new manifest state harmlessly.
+        """
+        m = self.manifest()
+        with_deltas = {int(b) for b in m.get("deltas", {})}
+        target = sorted(with_deltas if buckets is None else with_deltas & set(buckets))
+        epoch_key = f"__compact__v{m['version']}"
+        if not target or epoch_key in m["epochs"]:
+            return CommitStats(m["version"], epoch_key, applied=False)
+        version = m["version"] + 1
+        # read(internal=True) LWW-folds base+deltas and keeps tombstones
+        folded = self.read(buckets=target, manifest=m, internal=True).withColumn(
+            "bucket", bucket_expr(m["key_cols"], m["n_buckets"])
+        )
+        counts = self._write_version_data(folded, version, len(target))
+        bucket_ptrs = dict(m["buckets"])
+        bucket_counts = dict(m["bucket_counts"])
+        deltas = {b: list(ds) for b, ds in m.get("deltas", {}).items()}
+        delta_counts = dict(m.get("delta_counts", {}))
+        for b in target:
+            bs = str(b)
+            deltas.pop(bs, None)
+            delta_counts.pop(bs, None)
+            if b in counts:
+                bucket_ptrs[bs] = f"data/v{version}"
+                bucket_counts[bs] = counts[b]
+            else:  # bucket folded to nothing (shouldn't happen: tombstones kept)
+                bucket_ptrs.pop(bs, None)
+                bucket_counts.pop(bs, None)
+        self._write_manifest(
+            {
+                **m,
+                "version": version,
+                "epoch_key": epoch_key,
+                "buckets": bucket_ptrs,
+                "bucket_counts": bucket_counts,
+                "deltas": deltas,
+                "delta_counts": delta_counts,
+                **self._epochs_after_commit(m, epoch_key, version),
+            }
+        )
+        return CommitStats(
+            version, epoch_key, True, target, counts, sum(counts.values())
+        )
+
     def _epoch_manifest_files(self) -> list[str]:
         return sorted(
             f

@@ -240,6 +240,57 @@ def test_vacuum_keeps_kept_manifests_readable(spark, tmpdir_path):
         assert len(rows) == 1
 
 
+def test_compact_folds_all_deltas(spark, tmpdir_path):
+    """Standalone compact() (≙ Iceberg rewrite_data_files): folds every
+    delta-carrying bucket into a fresh base, preserves the logical view
+    and tombstones, clears deltas, and is idempotent per table version."""
+    t = ParquetLakeTable.create(
+        spark, tmpdir_path, schemas.TABLE_SCHEMA, K, 4, mode="mor",
+        compact_every=100,  # inline compaction never triggers
+    )
+    t.apply_batch(_resolved(spark, [_row("i", i, (f"r{i}", "p", "c"), f"v{i}") for i in range(8)]), "e1")
+    t.apply_batch(_resolved(spark, [_row("u", 100 + i, (f"r{i}", "p", "c"), f"u{i}") for i in range(4)]
+                            + [_row("d", 200, ("r7", "p", "c"))]), "e2")
+    before = {(r["repo"], r["path"], r["commit"]): r["content"] for r in t.read().collect()}
+    m_before = t.manifest()
+    assert m_before["deltas"]  # deltas accumulated
+    s = t.compact()
+    assert s.applied and sorted(s.affected_buckets) == sorted(int(b) for b in m_before["deltas"])
+    m = t.manifest()
+    assert m["deltas"] == {} and m["delta_counts"] == {}
+    after = {(r["repo"], r["path"], r["commit"]): r["content"] for r in t.read().collect()}
+    assert after == before
+    # tombstone survived the fold (still shields late older events)
+    assert t.read(internal=True).filter("op = 'd'").count() == 1
+    # all delta-carrying buckets now point at the new base version
+    assert all(m["buckets"][str(b)] == f"data/v{m['version']}" for b in s.affected_buckets)
+    # idempotent: second pass with nothing to fold is a no-op commit
+    s2 = t.compact()
+    assert not s2.applied and t.manifest()["version"] == m["version"]
+    # vacuum can now reclaim the superseded delta dirs
+    t.vacuum(keep_manifests=1)
+    assert {(r["repo"], r["path"], r["commit"]): r["content"] for r in t.read().collect()} == before
+
+
+def test_compact_partial_wave(spark, tmpdir_path):
+    """compact(buckets=...) compacts only the requested wave — the
+    100 TB maintenance pattern is several bounded jobs, not one giant
+    shuffle."""
+    t = ParquetLakeTable.create(
+        spark, tmpdir_path, schemas.TABLE_SCHEMA, K, 8, mode="mor", compact_every=100
+    )
+    t.apply_batch(_resolved(spark, [_row("i", i, (f"r{i}", "p", "c"), f"v{i}") for i in range(20)]), "e1")
+    all_delta = sorted(int(b) for b in t.manifest()["deltas"])
+    assert len(all_delta) >= 2
+    wave = all_delta[: len(all_delta) // 2]
+    s = t.compact(buckets=wave)
+    assert s.applied and sorted(s.affected_buckets) == sorted(wave)
+    m = t.manifest()
+    remaining = sorted(int(b) for b in m["deltas"])
+    assert remaining == sorted(set(all_delta) - set(wave))
+    assert t.read().count() == 20  # logical view unchanged mid-maintenance
+
+
 def test_mor_delta_counts_tracked(spark, tmpdir_path):
     """MoR manifests account for delta rows: physical rows =
     bucket_counts (base) + delta_counts (deltas); compaction folds the
