@@ -276,6 +276,52 @@ def q_cdc_replay_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_mor_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read ingest + offline compaction (≙ Iceberg
+    rewrite_data_files): replay the derived log into a MoR table whose
+    inline budget never triggers, so every epoch lands as deltas; then
+    run the standalone ``compact()`` maintenance pass and read the
+    folded table. Equality with the single-shot SQL replay proves the
+    fold preserves LWW/tombstone semantics exactly — the maintenance
+    path is held to the same reference-parity contract as ingest."""
+    from go_cdc_spark import schemas
+    from go_cdc_spark.config import PipelineConfig
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+    from go_cdc_spark.streaming.replay import replay_chunked
+
+    ev = _events(spark, sf_dir)
+    log = _derived_log(ev)
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    log = log.withColumn(
+        "segment", (F.col("seq") * 4 / (max_id + 1)).cast("long")
+    )
+    d = tempfile.mkdtemp(prefix="go_cdc_compact_")
+    log_dir = os.path.join(d, "log")
+    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
+    cfg = PipelineConfig(
+        pipeline_id="entry-compact",
+        source_log_path=log_dir,
+        bookmark_root=os.path.join(d, "bm"),
+        table_root=os.path.join(d, "table"),
+        key_cols=["user_id"],
+        order_cols=list(schemas.ORDER_COLS),
+        n_buckets=8,
+    )
+    lake = ParquetLakeTable.create(
+        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets,
+        mode="mor", compact_every=1000,
+    )
+    replay_chunked(spark, cfg, chunk_segments=1)
+    assert lake.manifest()["deltas"], "MoR replay should leave deltas to compact"
+    stats = lake.compact()
+    assert stats.applied and lake.manifest()["deltas"] == {}
+    return lake.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive schema evolution through the real engine: the log's
     later segments carry a new nullable ``value_cents`` column the
@@ -552,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_delete_apply": q_cdc_delete_apply,
         "cdc_watch_threshold": q_cdc_watch_threshold,
         "cdc_replay_pipeline": q_cdc_replay_pipeline,
+        "cdc_mor_compact": q_cdc_mor_compact,
         "cdc_lww_salted": q_cdc_lww_salted,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
@@ -762,6 +809,15 @@ def oracle_sql() -> dict[str, str]:
         # full-engine replay vs single-shot SQL replay (event_id is
         # monotone in ts, so ordering by event_id ≡ (ts, event_id))
         "cdc_replay_pipeline": (
+            f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
+            f"{_OP_SQL} AS op FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
+            "SELECT user_id, event_type AS last_event_type, value AS last_value "
+            "FROM r WHERE rn = 1 AND op <> 'd'"
+        ),
+        # MoR ingest + compact() fold must equal the same single-shot
+        # replay — the maintenance pass may not change the logical view
+        "cdc_mor_compact": (
             f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
             f"{_OP_SQL} AS op FROM events), "
             "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "

@@ -10,7 +10,7 @@ JSON line:
   {"metric": "...", "value": N, "unit": "sec",
    "queries": {...}, "sf": ..., "replay_events_per_sec": ...}
 
-Scaling-efficiency evidence (same job at local[8] vs local[32]) is
+Scaling-efficiency evidence (same job at N vs 4N local threads) is
 produced by bench_scaling.py and recorded in BENCH/BASELINE.md.
 """
 

@@ -47,6 +47,19 @@ class PipelineConfig:
     # (≙ OplogCollection.Filters, collection.go:37-50):
     # list of (column, op, value) with op ∈ {=, !=, >, >=, <, <=}.
     filters: list[tuple[str, str, object]] = field(default_factory=list)
+    # Oplog segment format: "parquet" (default) or "json" (JSON-lines —
+    # the shape a Mongo change-stream export lands in). JSON needs an
+    # explicit schema: source_schema_json is a StructType.json() string;
+    # None ⇒ EVENT_SCHEMA widened by the table's evolved payload.
+    source_format: str = "parquet"
+    source_schema_json: str | None = None
+
+    def source_schema(self):
+        from pyspark.sql import types as T
+
+        if self.source_schema_json is None:
+            return None
+        return T.StructType.fromJson(json.loads(self.source_schema_json))
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2)

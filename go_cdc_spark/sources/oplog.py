@@ -57,11 +57,33 @@ def read_chunk(
     chunk: Chunk,
     token: tuple[int, int, int] | None = None,
     filters=(),
+    fmt: str = "parquet",
+    schema=None,
 ) -> DataFrame:
     """Read one chunk with its own on-disk schema (segments may have
-    evolved columns; mergeSchema unifies within the chunk)."""
+    evolved columns; mergeSchema unifies within the chunk).
+
+    ``fmt="json"`` reads JSON-lines segments — the shape a MongoDB
+    change-stream export / Debezium-style feed lands in. JSON is not
+    self-describing at scale, so an explicit ``schema`` (StructType) is
+    REQUIRED: schema inference would be an extra full pass over 100 TB
+    and can mistype sparse columns. Token/row filters still apply;
+    segment-level pruning (whole directories skipped) carries the
+    scalability — JSON has no row-group stats to push into, so the
+    residual boundary filter runs post-parse, same as any engine.
+    """
     paths = [os.path.join(log_dir, f"segment={k}") for k in chunk.segments]
-    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if fmt == "parquet":
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    elif fmt == "json":
+        if schema is None:
+            raise ValueError(
+                "fmt='json' requires an explicit schema (no inference at scale)"
+            )
+        # list, not varargs: reader.json()'s 2nd positional is a schema
+        df = spark.read.schema(schema).json(list(paths))
+    else:
+        raise ValueError(f"unknown oplog format: {fmt!r}")
     if token is not None:
         df = from_token(df, token)
     if filters:

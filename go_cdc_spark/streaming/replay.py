@@ -139,7 +139,8 @@ def replay_chunked(
             # lake is the source of truth). Skip = exactly-once.
             continue
         events = read_chunk(
-            spark, cfg.source_log_path, chunk, token=token, filters=cfg.filters
+            spark, cfg.source_log_path, chunk, token=token, filters=cfg.filters,
+            fmt=cfg.source_format, schema=_source_schema(cfg, lake),
         )
         results.append(
             apply_epoch(events, lake, bookmarks, cfg, chunk.epoch, epoch_key)
@@ -147,6 +148,22 @@ def replay_chunked(
         if cfg.vacuum_every and len(results) % cfg.vacuum_every == 0:
             lake.vacuum()
     return results
+
+
+def _source_schema(cfg: PipelineConfig, lake: ParquetLakeTable):
+    """Fixed read schema for non-self-describing formats (json): the
+    configured schema, else EVENT_SCHEMA widened by the table's evolved
+    payload (absent columns parse as null). Parquet keeps None: its
+    footer schema + mergeSchema is strictly better. NOTE: a column that
+    first appears MID-LOG must be declared via cfg.source_schema_json
+    (≙ a schema-registry contract) — the fallback only knows columns
+    the table has already seen, so an undeclared new JSON field is
+    silently dropped until the table evolves."""
+    if cfg.source_format == "parquet":
+        return None
+    from go_cdc_spark.evolve import union_schema
+
+    return cfg.source_schema() or union_schema(schemas.EVENT_SCHEMA, lake.schema)
 
 
 def replay_streaming(
@@ -168,12 +185,17 @@ def replay_streaming(
     # Streaming needs a fixed schema: the union of event schema and the
     # table's payload (covers already-evolved columns; parquet fills
     # missing columns with null).
-    stream_schema = union_schema(schemas.EVENT_SCHEMA, lake.schema)
-    reader = (
-        spark.readStream.schema(stream_schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(f"{cfg.source_log_path}/segment=*")
+    stream_schema = (
+        cfg.source_schema() or union_schema(schemas.EVENT_SCHEMA, lake.schema)
     )
+    reader = spark.readStream.schema(stream_schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    glob = f"{cfg.source_log_path}/segment=*"
+    if cfg.source_format == "json":
+        reader = reader.json(glob)
+    else:
+        reader = reader.parquet(glob)
 
     def body(batch_df: DataFrame, epoch_id: int):
         apply_epoch(

@@ -188,3 +188,59 @@ def test_streaming_kill_then_resume_from_checkpoint(spark, tmpdir_path):
     q2.awaitTermination(120)
     lake = ParquetLakeTable.load(spark, cfg.table_root)
     assert _fingerprint(lake) == _oracle_fp(spark, cfg.source_log_path)
+
+
+def test_json_source_replay_matches_parquet(spark, tmpdir_path):
+    """JSON-lines oplog segments (≙ a Mongo change-stream export)
+    replay to the identical final state as the parquet log — including
+    mid-log additive schema evolution (absent JSON fields parse null
+    under the widened fixed schema, same contract as mergeSchema)."""
+    import pyspark.sql.functions as F
+
+    pq_cfg = _cfg(tmpdir_path, pipeline_id="pq")
+    spec = LogSpec(n_events=4_000, segment_events=1_000, dup_every=101,
+                   seed=77, evolve_from_segment=2)
+    write_segments(spark, spec, pq_cfg.source_log_path)
+    # transcode the parquet segments to JSON-lines segment dirs
+    js_log = os.path.join(tmpdir_path, "jslog")
+    raw = spark.read.option("mergeSchema", "true").parquet(pq_cfg.source_log_path)
+    raw.repartition("segment").sortWithinPartitions("segment").write.partitionBy(
+        "segment"
+    ).mode("overwrite").json(js_log)
+    # JSON is not self-describing: mid-log additive evolution must be
+    # declared up front (≙ a Debezium/schema-registry contract) — the
+    # fallback schema only covers columns the TABLE already has.
+    from pyspark.sql import types as T
+
+    evolved = T.StructType(
+        list(schemas.EVENT_SCHEMA.fields)
+        + [T.StructField("content_sha", T.StringType(), True)]
+    )
+    js_cfg = _cfg(
+        tmpdir_path, pipeline_id="js", source_format="json",
+        source_schema_json=evolved.json(),
+    )
+    js_cfg.source_log_path = js_log
+    js_cfg.table_root = os.path.join(tmpdir_path, "jstable")
+    for cfg in (pq_cfg, js_cfg):
+        ParquetLakeTable.create(
+            spark, cfg.table_root, schemas.TABLE_SCHEMA, cfg.key_cols, cfg.n_buckets
+        )
+        replay_chunked(spark, cfg, chunk_segments=2)
+    fp_pq = _fingerprint(ParquetLakeTable.load(spark, pq_cfg.table_root))
+    fp_js = _fingerprint(ParquetLakeTable.load(spark, js_cfg.table_root))
+    assert fp_pq == fp_js == _oracle_fp(spark, pq_cfg.source_log_path)
+    # evolved column must round-trip through JSON too (not just be null)
+    js_lake = ParquetLakeTable.load(spark, js_cfg.table_root)
+    assert js_lake.read().filter(F.col("content_sha").isNotNull()).count() > 0
+
+
+def test_json_source_requires_schema(spark, tmpdir_path):
+    """No schema inference at scale: a JSON read without an explicit
+    schema must raise, not silently trigger an inference pass."""
+    import pytest
+
+    from go_cdc_spark.sources.oplog import Chunk, read_chunk
+
+    with pytest.raises(ValueError, match="schema"):
+        read_chunk(spark, tmpdir_path, Chunk(0, [0]), fmt="json")
