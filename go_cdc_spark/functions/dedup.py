@@ -427,42 +427,54 @@ def minhash_signatures(
     array; the shingle id is the first 60 bits of ``sha2(shingle, 256)``
     reduced mod p = 2³¹−1 (60 bits parse exactly into a signed long via
     ``conv``, and sha256 is reproducible in ANSI SQL, which is what
-    makes the DuckDB oracle twin possible); signature position i is
-    ``array_min`` of the universal hash (aᵢ·x + bᵢ) mod p — products
-    stay < 2⁶² so the whole grid is native long arithmetic.
+    makes the DuckDB oracle twin possible); shingle ids then EXPLODE to
+    rows and signature position i is a ``min`` aggregate of the
+    universal hash (aᵢ·x + bᵢ) mod p — products stay < 2⁶² so the whole
+    grid is native long arithmetic, and the 64 mins are one map-side-
+    combined hash aggregate (the shuffle carries 64 longs per doc,
+    independent of doc length). The explode+agg shape replaces an
+    earlier 64×``array_min(transform(...))`` formulation: higher-order
+    functions are interpreted per row (no whole-stage codegen), which
+    measured ~6× slower at sf0.1 — same trap simhash avoids the same
+    way.
     """
     a, b = _hash_params(n_hashes, seed)
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda x: F.length(x) > 0,
     )
+    # token array materializes as its own column: `shingles` references
+    # it 3× and re-tokenizing inside the interpreted HOF is measurable
+    t = F.col("_t")
     shingles = F.when(
-        F.size(toks) >= shingle_len,
+        F.size(t) >= shingle_len,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - shingle_len + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_len)),
+            F.sequence(F.lit(1), F.size(t) - shingle_len + 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, shingle_len)),
         ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    sh_ids = F.transform(
-        shingles,
-        lambda s: F.pmod(
-            F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long"),
-            F.lit(_MERSENNE_P),
-        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+    # sha2 runs ROW-LEVEL after the explode (whole-stage codegen), not
+    # inside the shingle lambda: higher-order-function bodies are
+    # interpreted, and hashing there measured ~4× slower at sf0.1
+    sh_id = F.pmod(
+        F.conv(F.substring(F.sha2(F.col("_s"), 256), 1, 15), 16, 10).cast("long"),
+        F.lit(_MERSENNE_P),
     )
-    base = df.select(F.col(id_col), sh_ids.alias("_sh"))
-
-    def _uh(ai: int, bi: int):
-        # factory keeps the lambda unary (PySpark counts lambda params)
-        return lambda x: F.pmod(F.lit(ai) * x + F.lit(bi), F.lit(_MERSENNE_P))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_sh"), _uh(int(ai), int(bi))))
-            for ai, bi in zip(a, b)
-        ]
+    exploded = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .select(F.col(id_col), F.explode(shingles).alias("_s"))
+        .select(F.col(id_col), sh_id.alias("_x"))
     )
-    return base.select(F.col(id_col), sig.alias("signature"))
+    mins = [
+        F.min(
+            F.pmod(F.lit(int(ai)) * F.col("_x") + F.lit(int(bi)), F.lit(_MERSENNE_P))
+        ).alias(f"_m{i}")
+        for i, (ai, bi) in enumerate(zip(a, b))
+    ]
+    sig = F.array(*[F.col(f"_m{i}") for i in range(n_hashes)])
+    return (
+        exploded.groupBy(id_col).agg(*mins).select(F.col(id_col), sig.alias("signature"))
+    )
 
 
 def minhash_lsh_pairs(
