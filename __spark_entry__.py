@@ -367,6 +367,22 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window per-op rates (streaming/monitor.py):
+    real F.window over the event timestamps — one map-side-combined
+    aggregate, output rows ∝ windows × ops, independent of event
+    volume. The streaming twin (stream_windowed_rates) adds a watermark
+    and is pinned by tests/test_monitor.py's late-data test."""
+    from go_cdc_spark.streaming.monitor import windowed_rates
+
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        _op(ev).alias("op"),
+        F.unix_timestamp("ts").cast("long").alias("ts_t"),
+    )
+    return windowed_rates(log, window="10 minutes")
+
+
 def q_cdc_snapshot_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full stage machine (Init→Dump→Tail, SURVEY §3.1)
     through the real engine: snapshot the pre-split live state into the
@@ -602,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_salted": q_cdc_lww_salted,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
+        "cdc_window_rates": q_cdc_window_rates,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -839,6 +856,16 @@ def oracle_sql() -> dict[str, str]:
             f"CASE WHEN ts >= TIMESTAMP '{_SPLIT}' "
             "THEN CAST(round(value * 100) AS BIGINT) END AS value_cents "
             "FROM r WHERE rn = 1 AND op <> 'd'"
+        ),
+        # F.window's tumbling 10-min grid is epoch-aligned (UTC origin),
+        # so window_start ≡ floor(epoch/600)*600 exactly
+        "cdc_window_rates": (
+            # floor(): unix_timestamp TRUNCATES sub-second parts while a
+            # DuckDB double->BIGINT cast ROUNDS — boundary events differ
+            f"SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS window_start, "
+            f"{_OP_SQL} AS op, CAST(count(*) AS BIGINT) AS n_events, "
+            "round(count(*) / 600.0, 6) AS events_per_sec "
+            "FROM events GROUP BY 1, 2"
         ),
         "cdc_snapshot_then_tail": (
             f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "

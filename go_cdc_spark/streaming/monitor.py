@@ -1,0 +1,118 @@
+"""Event-time windowed rate monitoring — batch and streaming.
+
+The reference has no event-time windowing at all (SURVEY §2.3: events
+are processed regardless of lateness; its only "rates" are the fixed
+1 s poll/flush tickers, tailer.go:100). A production ingest pipeline
+needs per-op event-rate telemetry that tolerates the out-of-order /
+re-delivered events the oplog contract allows, so this module adds it
+Spark-first:
+
+- :func:`windowed_rates` — tumbling event-time windows over a batch
+  DataFrame via ``F.window`` (codegen'd; one map-side-combined
+  aggregate, shuffle carries one row per (window, op) — independent of
+  event volume).
+- :func:`stream_windowed_rates` — the same aggregation as a Structured
+  Streaming query with a WATERMARK: late events inside the tolerance
+  still count into their (event-time) window; events later than the
+  watermark are dropped and the closed window emits exactly once
+  (append mode). State is bounded by the watermark horizon — without
+  it, windowed streaming state grows forever at 10^10-event scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from go_cdc_spark import schemas
+from go_cdc_spark.config import PipelineConfig
+
+
+def _with_event_time(df: DataFrame, ts_col: str = "ts_t") -> DataFrame:
+    # ts_t is unix seconds (Mongo primitive.Timestamp.T, schemas.py);
+    # session tz is pinned to UTC so the window bounds are deterministic
+    return df.withColumn("_etime", F.col(ts_col).cast("timestamp"))
+
+
+def windowed_rates(
+    df: DataFrame, window: str = "10 minutes", ts_col: str = "ts_t"
+) -> DataFrame:
+    """Per-op event counts in tumbling event-time windows.
+
+    Returns (window_start unix-seconds, op, n_events, events_per_sec)
+    — the long window key (not a timestamp) keeps the result exactly
+    reproducible in any ANSI-SQL oracle regardless of tz rendering.
+    """
+    win_secs = F.unix_timestamp(F.col("_w.end")) - F.unix_timestamp(F.col("_w.start"))
+    return (
+        _with_event_time(df, ts_col)
+        .groupBy(F.window("_etime", window).alias("_w"), "op")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("_w.start")).alias("window_start"),
+            "op",
+            "n_events",
+            F.round(F.col("n_events") / win_secs, 6).alias("events_per_sec"),
+        )
+    )
+
+
+def stream_windowed_rates(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    out_table: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Streaming per-op windowed rates over the oplog segment dir.
+
+    Append output mode: a window row emits exactly once, after the
+    watermark passes its end — so downstream consumers (alerting, lag
+    dashboards) never see a count twice. Events arriving later than
+    ``watermark`` past the max seen event time are DROPPED from the
+    aggregation (bounded state); pick the tolerance from the source's
+    real out-of-orderness (the oplog's duplicate-boundary re-reads are
+    seconds, not hours). Returns the StreamingQuery; results land in
+    the in-memory table ``out_table``.
+    """
+    from go_cdc_spark.evolve import union_schema
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+
+    try:
+        table_schema = ParquetLakeTable.load(spark, cfg.table_root).schema
+        stream_schema = cfg.source_schema() or union_schema(
+            schemas.EVENT_SCHEMA, table_schema
+        )
+    except FileNotFoundError:  # monitoring does not require a lake table
+        stream_schema = cfg.source_schema() or schemas.EVENT_SCHEMA
+    reader = spark.readStream.schema(stream_schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    glob = f"{cfg.source_log_path}/segment=*"
+    src = reader.json(glob) if cfg.source_format == "json" else reader.parquet(glob)
+    agg = (
+        _with_event_time(src)
+        .withWatermark("_etime", watermark)
+        .groupBy(F.window("_etime", window).alias("_w"), "op")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("_w.start")).alias("window_start"),
+            "op",
+            "n_events",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .option(
+            "checkpointLocation",
+            f"{cfg.bookmark_root}/{cfg.pipeline_id}/_monitor_checkpoint",
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=cfg.trigger_interval or "1 second")
+    return writer.start()

@@ -1,0 +1,92 @@
+"""Event-time windowed rates: batch twin + streaming watermark
+semantics (late data dropped, closed windows emit exactly once)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from go_cdc_spark import schemas
+from go_cdc_spark.config import PipelineConfig
+from go_cdc_spark.streaming.monitor import stream_windowed_rates, windowed_rates
+
+
+def _ev(op, ts_t, seq, user=1):
+    # (op, ts_t, ts_i, seq, repo, path, commit, lang, content)
+    return (op, ts_t, 0, seq, f"r{user}", "p", "c", "py", "x")
+
+
+def _log_df(spark, rows):
+    return spark.createDataFrame(rows, schema=schemas.EVENT_SCHEMA)
+
+
+def test_windowed_rates_matches_manual_floor(spark):
+    """F.window's tumbling grid == floor(epoch/width)*width, and the
+    rate is count/width — checked against a hand-computed twin."""
+    rows = [_ev("i", 30, 1), _ev("i", 59, 2), _ev("u", 60, 3), _ev("d", 125, 4)]
+    got = {
+        (r["window_start"], r["op"]): (r["n_events"], r["events_per_sec"])
+        for r in windowed_rates(_log_df(spark, rows), "1 minutes").collect()
+    }
+    assert got == {
+        (0, "i"): (2, round(2 / 60, 6)),
+        (60, "u"): (1, round(1 / 60, 6)),
+        (120, "d"): (1, round(1 / 60, 6)),
+    }
+
+
+def test_stream_windowed_rates_watermark_semantics(spark, tmpdir_path):
+    """Watermark semantics end-to-end through the file-stream source,
+    one micro-batch per file. Three guarantees pinned:
+
+    1. a late event arriving while its window state is still LIVE
+       (watermark not yet past the window end) merges into the window;
+    2. a window emits exactly once, after the watermark passes its end
+       (append mode) — and an event arriving AFTER that eviction is
+       dropped, never resurrecting or double-emitting the window;
+    3. a window the watermark never passes does not emit at all
+       (bounded state, no premature output).
+    """
+    log = os.path.join(tmpdir_path, "log")
+    # batch 0: one event in window [60,120); the t=500 event sets the
+    # post-batch watermark to 440, which evicts [60,120) only at the
+    # END of the next batch — so the window enters batch 1 still live
+    _log_df(spark, [_ev("i", 100, 1), _ev("i", 500, 2)]).coalesce(1).write.parquet(
+        os.path.join(log, "segment=0")
+    )
+    time.sleep(1.1)  # file-stream source orders batches by mod time
+    # batch 1: t=110 is late but its window is STILL LIVE at batch
+    # start (watermark 440 evicts [60,120) only at this batch's END) ⇒
+    # merges (guarantee 1); the window then closes with count 2.
+    _log_df(spark, [_ev("i", 110, 3)]).coalesce(1).write.parquet(
+        os.path.join(log, "segment=1")
+    )
+    time.sleep(1.1)
+    # batch 2: t=105 targets the now-EVICTED window ⇒ dropped
+    # (guarantee 2); t=100000's window never closes ⇒ never emits
+    # (guarantee 3).
+    _log_df(spark, [_ev("i", 105, 4), _ev("u", 100_000, 5)]).coalesce(1).write.parquet(
+        os.path.join(log, "segment=2")
+    )
+    cfg = PipelineConfig(
+        pipeline_id="mon2",
+        source_log_path=log,
+        table_root=os.path.join(tmpdir_path, "no_table"),
+        bookmark_root=os.path.join(tmpdir_path, "bm"),
+    )
+    q = stream_windowed_rates(
+        spark, cfg, out_table="rates2", window="1 minutes",
+        watermark="60 seconds", max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    rows = [
+        (r["window_start"], r["op"], r["n_events"])
+        for r in spark.sql("SELECT * FROM rates2").collect()
+    ]
+    emitted_60 = [r for r in rows if r[0] == 60]
+    assert emitted_60 == [(60, "i", 2)]  # one emission; live-late t=110
+    #                                      merged, post-eviction t=105 dropped
+    assert (480, "i", 1) in rows
+    assert not any(op == "u" for _, op, _n in rows)  # open window: no output
