@@ -499,6 +499,19 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: exact-Jaccard near-dup pairs (≥0.9) fed through
+    the large-star/small-star connected-components contraction — the
+    canonical-survivor stage of a dedup pipeline. Oracle: the same pair
+    SQL + a recursive transitive-closure CTE with min-label components
+    (tractable at sf0.01; the Spark side is the O(log n)-round scale
+    path)."""
+    from go_cdc_spark.functions.dedup import connected_components, jaccard_pairs
+
+    pairs = jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
+    return connected_components(pairs)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-oracle checked: signatures are now JVM Column expressions
     whose shingle ids come from sha2(), so the DuckDB twin replays the
@@ -627,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow": q_dedup_winnow,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_components": q_dedup_components,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_bruteforce": q_sim_ann_bruteforce,
@@ -913,6 +927,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, "
             "CAST(min(doc_id) AS BIGINT) AS canonical_id, "
             "CAST(count(*) AS BIGINT) AS group_size FROM documents GROUP BY 1"
+        ),
+        # same pair derivation as dedup_jaccard, then components via a
+        # recursive transitive-closure CTE (UNION dedup terminates it);
+        # component = min reachable id, matching star contraction
+        "dedup_components": (
+            "WITH RECURSIVE toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex("
+            "lower(trim(text)), '\\s+'))) AS token FROM documents), "
+            "tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0), "
+            "sizes AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common "
+            "FROM tk a JOIN tk b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT doc_a, doc_b FROM inter "
+            "JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
+            "WHERE round(n_common * 1.0 / (sa.n_tok + sb.n_tok - n_common), 6) >= 0.9), "
+            "sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs), "
+            "reach(src, dst) AS (SELECT u, v FROM sym "
+            "UNION SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u) "
+            "SELECT src AS doc_id, least(src, min(dst)) AS component "
+            "FROM reach GROUP BY src"
         ),
         "dedup_jaccard": (
             "WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex("

@@ -743,3 +743,91 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------- connected components (dedup clusters) ----------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    canonical-selection stage of a dedup pipeline (pairs → clusters →
+    keep min-id doc per cluster). Returns (doc_id, component) for every
+    doc appearing in ``pairs``; ``component`` is the smallest doc id in
+    the cluster, so it doubles as the canonical survivor. Docs with no
+    pairs are their own components — callers union them in (cheap
+    anti-join) rather than shipping every isolated doc through the
+    contraction.
+
+    Spark-first scale path: alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond" — public algorithm):
+
+    - large-star: every node points its LARGER neighbors at the
+      smallest node it can see (min of itself + neighborhood);
+    - small-star: every node points its smaller-or-equal neighbors at
+      that same minimum.
+
+    Each round is one groupBy + one join over the edge list (linear
+    shuffles, no driver state beyond a convergence checksum), and the
+    edge set converges to a star forest in O(log n) rounds even on
+    adversarial long-chain graphs — unlike plain min-label propagation,
+    whose round count is the graph DIAMETER (a 10^6-long chain at
+    100 TB would need 10^6 shuffles). Convergence is detected by an
+    order-insensitive xxhash64 checksum of the edge set (one tiny
+    action per round); the star forest then reads off components
+    directly. Correctness is pinned against a pure-Python union-find
+    oracle on adversarial graphs (chains, cliques, stars — see
+    tests/test_functions.py) and a DuckDB recursive-closure oracle in
+    the driver contract (``dedup_components``).
+    """
+    u, v = F.col("_u"), F.col("_v")
+    e = pairs.select(
+        F.col(a_col).cast("long").alias("_u"), F.col(b_col).cast("long").alias("_v")
+    ).filter(u != v)
+    # symmetric closure once up front; stars keep orientation explicit
+    edges = e.unionByName(e.select(v.alias("_u"), u.alias("_v"))).distinct()
+
+    def star(es: DataFrame, large: bool) -> DataFrame:
+        m = es.groupBy("_u").agg(F.least(F.min("_v"), F.col("_u")).alias("_m"))
+        linked = es.join(m, "_u").filter(u < v if large else u >= v)
+        neighbor_edges = linked.select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+        # the center itself links to the min too — without this a
+        # 2-node component's only surviving edge is a dropped self-loop
+        center_edges = m.select("_u", F.col("_m").alias("_v"))
+        out = neighbor_edges.unionByName(center_edges).filter(
+            F.col("_u") != F.col("_v")
+        )
+        # re-symmetrize: both orientations must exist for the next star
+        return out.unionByName(
+            out.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+        ).distinct()
+
+    def checksum(es: DataFrame) -> int:
+        # bit_xor: order-insensitive and overflow-free (ANSI mode traps
+        # a plain sum of int64 hashes)
+        row = es.agg(
+            F.expr("bit_xor(xxhash64(_u, _v))").alias("s"), F.count("*").alias("n")
+        ).collect()[0]
+        return hash((row["s"], row["n"]))
+
+    prev = checksum(edges)
+    for _ in range(max_rounds):
+        edges = star(star(edges, large=True), large=False)
+        # cut the lineage each round: the plan would otherwise double
+        # per iteration (checkpoint-by-persist; tiny edge lists)
+        edges = edges.localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # star forest: component(u) = min(u, min neighbor)
+    return (
+        edges.groupBy("_u")
+        .agg(F.least(F.min("_v"), F.col("_u")).alias("component"))
+        .select(F.col("_u").alias("doc_id"), "component")
+    )

@@ -429,3 +429,54 @@ def test_cosine_blocked_path_parity_no_driver_collect(spark, monkeypatch):
         ).collect()
     }
     assert got == expect
+
+
+def _union_find_components(edges):
+    """Pure-Python oracle: component = min node id per cluster."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in list(parent):
+        comp[n] = find(n)
+    return comp
+
+
+def test_connected_components_vs_union_find(spark):
+    """Adversarial graph shapes vs a pure-Python union-find oracle:
+    a LONG CHAIN (the worst case for plain min-label propagation, whose
+    round count is the graph diameter — star contraction must converge
+    within the O(log n) round cap), cliques, a star, a 2-node component
+    (the center-edge regression case), and seeded random edges."""
+    import random
+
+    from go_cdc_spark.functions.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = []
+    edges += [(i, i + 1) for i in range(100, 300)]  # 201-node chain
+    edges += [(a, b) for a in range(500, 510) for b in range(a + 1, 510)]  # clique
+    edges += [(900, x) for x in range(901, 920)]  # star
+    edges += [(2000, 2001)]  # minimal 2-node component
+    nodes = list(range(3000, 3100))
+    edges += [tuple(rng.sample(nodes, 2)) for _ in range(80)]  # random
+    rng.shuffle(edges)
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, max_rounds=12).collect()
+    }
+    want = _union_find_components(edges)
+    assert got == want
+    # every component label is the min id of its cluster (canonical)
+    assert all(c <= n for n, c in got.items())
