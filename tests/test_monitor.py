@@ -6,8 +6,6 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import functions as F
-
 from go_cdc_spark import schemas
 from go_cdc_spark.config import PipelineConfig
 from go_cdc_spark.streaming.monitor import stream_windowed_rates, windowed_rates
