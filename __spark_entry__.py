@@ -322,6 +322,54 @@ def q_cdc_mor_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel: replay the full log in 4
+    epochs, then read the table AS OF the manifest committed by epoch 1
+    (segments 0-1 only). The oracle replays only the event prefix those
+    segments contain — equality proves every kept manifest version
+    remains a consistent, readable snapshot after later commits
+    (≙ Iceberg snapshot reads; vacuum keeps this true by never deleting
+    data referenced by a surviving manifest)."""
+    import json as _json
+
+    from go_cdc_spark import schemas
+    from go_cdc_spark.config import PipelineConfig
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+    from go_cdc_spark.streaming.replay import replay_chunked
+
+    ev = _events(spark, sf_dir)
+    log = _derived_log(ev)
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    log = log.withColumn(
+        "segment", (F.col("seq") * 4 / (max_id + 1)).cast("long")
+    )
+    d = tempfile.mkdtemp(prefix="go_cdc_tt_")
+    log_dir = os.path.join(d, "log")
+    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
+    cfg = PipelineConfig(
+        pipeline_id="entry-tt",
+        source_log_path=log_dir,
+        table_root=os.path.join(d, "table"),
+        bookmark_root=os.path.join(d, "bm"),
+        key_cols=["user_id"],
+        order_cols=list(schemas.ORDER_COLS),
+        n_buckets=8,
+    )
+    lake = ParquetLakeTable.create(
+        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
+    )
+    replay_chunked(spark, cfg, chunk_segments=1)  # 4 epochs committed
+    files = lake._epoch_manifest_files()
+    assert len(files) == 5  # create + 4 epoch commits
+    with open(os.path.join(cfg.table_root, "_commits", files[2])) as fh:
+        as_of = _json.load(fh)  # state after epochs 0 and 1
+    return lake.read(manifest=as_of).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive schema evolution through the real engine: the log's
     later segments carry a new nullable ``value_cents`` column the
@@ -628,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_watch_threshold": q_cdc_watch_threshold,
         "cdc_replay_pipeline": q_cdc_replay_pipeline,
         "cdc_mor_compact": q_cdc_mor_compact,
+        "cdc_time_travel": q_cdc_time_travel,
         "cdc_lww_salted": q_cdc_lww_salted,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
@@ -851,6 +900,18 @@ def oracle_sql() -> dict[str, str]:
         "cdc_mor_compact": (
             f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
             f"{_OP_SQL} AS op FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
+            "SELECT user_id, event_type AS last_event_type, value AS last_value "
+            "FROM r WHERE rn = 1 AND op <> 'd'"
+        ),
+        # AS-OF read after epochs 0-1: replay only events whose segment
+        # floor(event_id*4/(max+1)) <= 1 — the prefix those epochs hold
+        "cdc_time_travel": (
+            f"WITH mx AS (SELECT max(event_id) + 1 AS m FROM events), "
+            f"pre AS (SELECT e.* FROM events e, mx "
+            f"WHERE CAST(floor(e.event_id * 4.0 / mx.m) AS BIGINT) <= 1), "
+            f"ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
+            f"{_OP_SQL} AS op FROM pre), "
             "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
             "SELECT user_id, event_type AS last_event_type, value AS last_value "
             "FROM r WHERE rn = 1 AND op <> 'd'"
