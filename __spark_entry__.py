@@ -560,6 +560,18 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: pairs (exact Jaccard ≥0.9) → clusters
+    (star contraction) → anti-join the losers — the surviving corpus'
+    ids. Completes the pairs→clusters→filter pipeline as one oracle-
+    checked unit."""
+    from go_cdc_spark.functions.dedup import dedup_near, jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, threshold=0.9)
+    return dedup_near(docs, pairs).select("doc_id")
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-oracle checked: signatures are now JVM Column expressions
     whose shingle ids come from sha2(), so the DuckDB twin replays the
@@ -690,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_components": q_dedup_components,
+        "dedup_near_keep": q_dedup_near_keep,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_bruteforce": q_sim_ann_bruteforce,
@@ -1008,6 +1021,26 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u) "
             "SELECT src AS doc_id, least(src, min(dst)) AS component "
             "FROM reach GROUP BY src"
+        ),
+        # survivors: all docs minus non-canonical cluster members
+        "dedup_near_keep": (
+            "WITH RECURSIVE toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex("
+            "lower(trim(text)), '\\s+'))) AS token FROM documents), "
+            "tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0), "
+            "sizes AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common "
+            "FROM tk a JOIN tk b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT doc_a, doc_b FROM inter "
+            "JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
+            "WHERE round(n_common * 1.0 / (sa.n_tok + sb.n_tok - n_common), 6) >= 0.9), "
+            "sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs), "
+            "reach(src, dst) AS (SELECT u, v FROM sym "
+            "UNION SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u), "
+            "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component "
+            "FROM reach GROUP BY src) "
+            "SELECT d.doc_id FROM documents d "
+            "WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)"
         ),
         "dedup_jaccard": (
             "WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex("

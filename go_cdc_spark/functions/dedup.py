@@ -831,3 +831,24 @@ def connected_components(
         .agg(F.least(F.min("_v"), F.col("_u")).alias("component"))
         .select(F.col("_u").alias("doc_id"), "component")
     )
+
+
+def dedup_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Filter a corpus to its near-duplicate survivors: cluster the
+    pair graph with :func:`connected_components` and keep, per cluster,
+    only the canonical (min-id) doc; docs in no pair survive untouched.
+    The losers set is one anti-join — pairs → clusters → filtered
+    corpus is the complete dedup pipeline, and every stage is
+    oracle-checked (`dedup_jaccard`, `dedup_components`,
+    `dedup_near_keep` in the driver contract)."""
+    comp = connected_components(pairs, a_col, b_col)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="anti")
