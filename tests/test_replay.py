@@ -244,3 +244,23 @@ def test_json_source_requires_schema(spark, tmpdir_path):
 
     with pytest.raises(ValueError, match="schema"):
         read_chunk(spark, tmpdir_path, Chunk(0, [0]), fmt="json")
+
+
+def test_streaming_json_source_matches_oracle(spark, tmpdir_path):
+    """Structured Streaming over JSON-lines segments: same exactly-once
+    replay, same final fingerprint as the oracle."""
+    cfg = _cfg(tmpdir_path, pipeline_id="sjson", source_format="json")
+    pq_log = os.path.join(tmpdir_path, "pqlog")
+    spec = LogSpec(n_events=3_000, segment_events=1_000, dup_every=83, seed=37)
+    write_segments(spark, spec, pq_log)
+    raw = spark.read.parquet(pq_log)
+    raw.repartition("segment").sortWithinPartitions("segment").write.partitionBy(
+        "segment"
+    ).mode("overwrite").json(cfg.source_log_path)
+    ParquetLakeTable.create(
+        spark, cfg.table_root, schemas.TABLE_SCHEMA, cfg.key_cols, cfg.n_buckets
+    )
+    q = replay_streaming(spark, cfg, max_files_per_trigger=3, available_now=True)
+    q.awaitTermination(120)
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    assert _fingerprint(lake) == _oracle_fp(spark, pq_log)
