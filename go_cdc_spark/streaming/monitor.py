@@ -116,3 +116,50 @@ def stream_windowed_rates(
     else:
         writer = writer.trigger(processingTime=cfg.trigger_interval or "1 second")
     return writer.start()
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    out_table: str,
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int = 1,
+    dedup_cols: tuple[str, ...] = ("seq",),
+):
+    """Streaming-native exact event dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's dedup state only
+    until the watermark passes it, so re-delivered events (the oplog's
+    duplicate-boundary re-reads, SURVEY §2.2-1 — seconds apart, not
+    hours) are dropped without the state ever growing with the stream.
+
+    This is the Spark-first alternative to handling duplicates in the
+    merge: the batch engine dedups via LWW idempotence (max-struct is
+    duplicate-immune), but a pipeline shipping raw events to some other
+    consumer wants them deduped in flight. Plain ``dropDuplicates`` on
+    a stream would keep EVERY key forever — a 10^10-event replay would
+    OOM; the watermark bound is what makes this operator shippable.
+    Emits deduped events to the in-memory table ``out_table``.
+    """
+    stream_schema = cfg.source_schema() or schemas.EVENT_SCHEMA
+    reader = spark.readStream.schema(stream_schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    glob = f"{cfg.source_log_path}/segment=*"
+    src = reader.json(glob) if cfg.source_format == "json" else reader.parquet(glob)
+    deduped = (
+        _with_event_time(src)
+        .withWatermark("_etime", watermark)
+        .dropDuplicatesWithinWatermark(list(dedup_cols))
+        .drop("_etime")
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .option(
+            "checkpointLocation",
+            f"{cfg.bookmark_root}/{cfg.pipeline_id}/_dedup_checkpoint",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

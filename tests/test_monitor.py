@@ -88,3 +88,35 @@ def test_stream_windowed_rates_watermark_semantics(spark, tmpdir_path):
     #                                      merged, post-eviction t=105 dropped
     assert (480, "i", 1) in rows
     assert not any(op == "u" for _, op, _n in rows)  # open window: no output
+
+
+def test_stream_dedup_events_within_watermark(spark, tmpdir_path):
+    """Re-delivered events across micro-batches (the oplog's
+    duplicate-boundary re-read) are dropped in flight; state stays
+    bounded by the watermark, so far-apart same-seq events (outside the
+    dedup horizon) pass — the documented within-watermark contract."""
+    log = os.path.join(tmpdir_path, "log")
+    # batch 0: seq 1,2 at t≈100
+    _log_df(spark, [_ev("i", 100, 1), _ev("i", 101, 2)]).coalesce(1).write.parquet(
+        os.path.join(log, "segment=0")
+    )
+    time.sleep(1.1)
+    # batch 1: seq 2 re-delivered (within horizon — dropped) + seq 3
+    _log_df(spark, [_ev("i", 101, 2), _ev("u", 102, 3)]).coalesce(1).write.parquet(
+        os.path.join(log, "segment=1")
+    )
+    cfg = PipelineConfig(
+        pipeline_id="sdd",
+        source_log_path=log,
+        table_root=os.path.join(tmpdir_path, "nt"),
+        bookmark_root=os.path.join(tmpdir_path, "bm"),
+    )
+    from go_cdc_spark.streaming.monitor import stream_dedup_events
+
+    q = stream_dedup_events(
+        spark, cfg, out_table="dd1", watermark="60 seconds",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    seqs = sorted(r["seq"] for r in spark.sql("SELECT seq FROM dd1").collect())
+    assert seqs == [1, 2, 3]  # the re-delivered seq=2 was dropped once
