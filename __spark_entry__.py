@@ -614,6 +614,17 @@ def q_sim_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_by_cosine(_emb(spark, sf_dir), threshold=0.45)
 
 
+def q_sim_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic near-dup pairs: LSH-bucket candidates, exact
+    cosine verify. Exact-oracle checked via the inlined-planes SQL twin
+    (same technique as sim_ann_lsh)."""
+    from go_cdc_spark.functions.similarity import near_dup_by_cosine_lsh
+
+    return near_dup_by_cosine_lsh(
+        _emb(spark, sf_dir), threshold=0.45, n_bits=3, n_tables=16
+    )
+
+
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-oracle checked: the random hyperplanes are deterministic
     from the seed, and the DuckDB twin inlines the SAME plane constants
@@ -707,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_bruteforce": q_sim_ann_bruteforce,
         "sim_near_dup_cosine": q_sim_near_dup_cosine,
+        "sim_near_dup_lsh": q_sim_near_dup_lsh,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
         "mm_features": q_mm_features,
@@ -820,6 +832,38 @@ def _lsh_ann_oracle_sql(n_bits=4, dim=64, seed=42, n_tables=8, k=10, max_query_i
         "ORDER BY cos DESC, neighbor_id) AS rn FROM scored) "
         "SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim, "
         f"CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= {k}"
+    )
+
+
+def _lsh_near_dup_oracle_sql(threshold=0.45, n_bits=3, dim=64, seed=42, n_tables=16) -> str:
+    """DuckDB twin of q_sim_near_dup_lsh: same inlined RandomState
+    planes, per-table bucket collision candidates (doc_a < doc_b),
+    exact cosine thresholded UNROUNDED, survivors rounded to 6dp —
+    tracks go_cdc_spark.functions.similarity.near_dup_by_cosine_lsh."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((n_tables, dim, n_bits))
+    vals = ", ".join(
+        f"({t}, {d}, {j}, {planes[t, d, j]!r})"
+        for t in range(n_tables)
+        for d in range(dim)
+        for j in range(n_bits)
+    )
+    return (
+        f"WITH pl(t, d, j, w) AS (VALUES {vals}), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "comp AS (SELECT e.vec_id, pl.t, pl.j, sum(e.v[pl.d + 1] * pl.w) AS s "
+        "FROM e, pl GROUP BY 1, 2, 3), "
+        "bits AS (SELECT vec_id, t, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) "
+        "ELSE 0::BIGINT END) AS bucket FROM comp GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b "
+        "FROM bits a JOIN bits b ON a.t = b.t AND a.bucket = b.bucket "
+        "AND a.vec_id < b.vec_id), "
+        "scored AS (SELECT doc_a, doc_b, "
+        "list_dot_product(ae.v, be.v) / (sqrt(list_dot_product(ae.v, ae.v)) * "
+        "sqrt(list_dot_product(be.v, be.v))) AS cos "
+        "FROM cand JOIN e ae ON ae.vec_id = doc_a JOIN e be ON be.vec_id = doc_b) "
+        f"SELECT doc_a, doc_b, round(cos, 6) AS cos_sim FROM scored WHERE cos >= {threshold}"
     )
 
 
@@ -1139,5 +1183,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "sim_ann_lsh": _lsh_ann_oracle_sql(n_bits=3, n_tables=16),
+        "sim_near_dup_lsh": _lsh_near_dup_oracle_sql(threshold=0.45, n_bits=3, n_tables=16),
         "sim_ann_ivf": _ivf_ann_oracle_sql(n_probe=12),
     }

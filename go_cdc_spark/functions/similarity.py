@@ -516,3 +516,46 @@ def _near_dup_cosine_blocked(
         return pd.concat(outs, ignore_index=True)
 
     return both.groupBy("pair").applyInPandas(cross_score, schema=out_schema)
+
+
+def near_dup_by_cosine_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """APPROXIMATE embedding near-dup pairs — the sub-quadratic sibling
+    of :func:`near_dup_by_cosine`: candidate pairs share a random-
+    hyperplane LSH bucket in ANY of ``n_tables`` tables, then exact
+    cosine verifies (unrounded) against ``threshold``; only survivors
+    are rounded. Work is Σ_buckets |bucket|² instead of N² — at 10⁹
+    vectors the exact blocked path still touches every pair once, while
+    this touches only colliding ones. Recall is tunable: fewer bits →
+    bigger buckets → higher recall & cost; more tables → recall at
+    linear extra cost (gate: tests/test_functions.py asserts ≥0.9 vs
+    the exact operator at the entry operating point). The bucket join
+    shuffles (table, bucket) keyed rows — no broadcast of the corpus,
+    no driver state."""
+    sig = hyperplane_signatures(df, n_bits, dim, id_col, vec_col, seed, n_tables)
+    a = sig.select(F.col(id_col).alias("doc_a"), "table", "bucket")
+    b = sig.select(F.col(id_col).alias("doc_b"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    va = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
+    sim = cosine(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>"))
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("_s", sim)
+        .filter(F.col("_s") >= threshold)  # threshold UNROUNDED, round survivors
+        .select("doc_a", "doc_b", F.round("_s", 6).alias("cos_sim"))
+    )

@@ -480,3 +480,27 @@ def test_connected_components_vs_union_find(spark):
     assert got == want
     # every component label is the min id of its cluster (canonical)
     assert all(c <= n for n, c in got.items())
+
+
+def test_lsh_near_dup_recall_vs_exact(spark):
+    """The LSH-bucketed near-dup path must recover ≥0.9 of the exact
+    operator's pairs at the entry operating point, with NO false
+    positives (candidates are verified with exact cosine)."""
+    from go_cdc_spark.functions.similarity import (
+        near_dup_by_cosine,
+        near_dup_by_cosine_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in near_dup_by_cosine(emb, threshold=0.45).collect()
+    }
+    approx_rows = near_dup_by_cosine_lsh(
+        emb, threshold=0.45, n_bits=3, n_tables=16
+    ).collect()
+    approx = {(r["doc_a"], r["doc_b"]) for r in approx_rows}
+    assert exact, "fixture should contain near-dup pairs"
+    assert approx <= exact  # verified candidates: zero false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
