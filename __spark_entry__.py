@@ -370,6 +370,54 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read (≙ Iceberg incremental scan / Delta CDF):
+    replay the log in 4 epochs, then diff the table state AS OF epoch 1
+    against the final state via ``ParquetLakeTable.changes_between`` —
+    every key classified insert/update/delete with post-image payload.
+    The oracle replays both event prefixes independently and diffs them
+    with a FULL OUTER JOIN, so equality proves the manifest-based diff
+    returns exactly the net changes the later epochs applied."""
+    import json as _json
+
+    from go_cdc_spark import schemas
+    from go_cdc_spark.config import PipelineConfig
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+    from go_cdc_spark.streaming.replay import replay_chunked
+
+    ev = _events(spark, sf_dir)
+    log = _derived_log(ev)
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    log = log.withColumn(
+        "segment", (F.col("seq") * 4 / (max_id + 1)).cast("long")
+    )
+    d = tempfile.mkdtemp(prefix="go_cdc_cdf_")
+    log_dir = os.path.join(d, "log")
+    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
+    cfg = PipelineConfig(
+        pipeline_id="entry-cdf",
+        source_log_path=log_dir,
+        table_root=os.path.join(d, "table"),
+        bookmark_root=os.path.join(d, "bm"),
+        key_cols=["user_id"],
+        order_cols=list(schemas.ORDER_COLS),
+        n_buckets=8,
+    )
+    lake = ParquetLakeTable.create(
+        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
+    )
+    replay_chunked(spark, cfg, chunk_segments=1)  # 4 epochs committed
+    files = lake._epoch_manifest_files()
+    with open(os.path.join(cfg.table_root, "_commits", files[2])) as fh:
+        m_old = _json.load(fh)  # state after epochs 0 and 1
+    return lake.changes_between(m_old, lake.manifest()).select(
+        "user_id",
+        "change_type",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive schema evolution through the real engine: the log's
     later segments carry a new nullable ``value_cents`` column the
@@ -700,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_pipeline": q_cdc_replay_pipeline,
         "cdc_mor_compact": q_cdc_mor_compact,
         "cdc_time_travel": q_cdc_time_travel,
+        "cdc_changelog": q_cdc_changelog,
         "cdc_lww_salted": q_cdc_lww_salted,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
@@ -972,6 +1021,27 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
             "SELECT user_id, event_type AS last_event_type, value AS last_value "
             "FROM r WHERE rn = 1 AND op <> 'd'"
+        ),
+        # CDF diff: LWW-live state over segments<=1 vs over the full log,
+        # FULL OUTER JOIN on key, unchanged rows dropped (IS DISTINCT FROM)
+        "cdc_changelog": (
+            f"WITH mx AS (SELECT max(event_id) + 1 AS m FROM events), "
+            f"ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
+            f"{_OP_SQL} AS op, CAST(floor(event_id * 4.0 / mx.m) AS BIGINT) AS seg "
+            "FROM events, mx), "
+            "r_old AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn "
+            "FROM ev WHERE seg <= 1), "
+            "s_old AS (SELECT user_id, event_type, value FROM r_old WHERE rn = 1 AND op <> 'd'), "
+            "r_new AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev), "
+            "s_new AS (SELECT user_id, event_type, value FROM r_new WHERE rn = 1 AND op <> 'd') "
+            "SELECT coalesce(o.user_id, n.user_id) AS user_id, "
+            "CASE WHEN o.user_id IS NULL THEN 'insert' "
+            "WHEN n.user_id IS NULL THEN 'delete' ELSE 'update' END AS change_type, "
+            "n.event_type AS last_event_type, n.value AS last_value "
+            "FROM s_old o FULL OUTER JOIN s_new n ON o.user_id = n.user_id "
+            "WHERE o.user_id IS NULL OR n.user_id IS NULL "
+            "OR o.event_type IS DISTINCT FROM n.event_type "
+            "OR o.value IS DISTINCT FROM n.value"
         ),
         "cdc_lww_salted": (
             f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "

@@ -337,6 +337,61 @@ class ParquetLakeTable:
             F.coalesce(F.col("op"), F.lit("")) != schemas.DELETE_OP
         ).select(*[f.name for f in logical.fields])
 
+    def changes_between(self, m_old: dict, m_new: dict) -> DataFrame:
+        """Change-data-feed read: the net row-level changes between two
+        committed manifests (≙ Iceberg incremental/changelog scan, Delta
+        CDF). Classifies every key whose LIVE logical row differs:
+
+        - ``insert``: key live in new but not in old
+        - ``update``: live in both, any payload column differs (null-safe)
+        - ``delete``: live in old but not in new (post-image nulls)
+
+        Payload columns carry the post-image (new state); deletes emit
+        nulls. Schema evolution between the two versions is handled by
+        null-padding the old side to the new logical schema, so a column
+        added mid-stream diffs as null→value.
+
+        Scale: both sides are bucket-pruned scans of the same hash-bucketed
+        key space, and the diff is ONE shuffle join on the table key —
+        identical-distribution sides, no broadcast needed, AQE handles
+        residual skew. No driver-side state beyond the two manifests.
+        """
+        keys = m_new["key_cols"]
+        new_schema = T.StructType.fromJson(json.loads(m_new["schema"]))
+        payload = [f.name for f in new_schema.fields if f.name not in set(keys)]
+        old = align_to_schema(self.read(manifest=m_old), new_schema)
+        new = self.read(manifest=m_new)
+        o = old.select(
+            *keys,
+            F.struct(*payload).alias("_op_img"),
+            F.lit(True).alias("_in_old"),
+        )
+        n = new.select(
+            *keys,
+            F.struct(*payload).alias("_np_img"),
+            F.lit(True).alias("_in_new"),
+        )
+        j = o.join(n, on=keys, how="full_outer")
+        change = (
+            F.when(F.col("_in_old").isNull(), F.lit("insert"))
+            .when(F.col("_in_new").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+        return (
+            j.withColumn("change_type", change)
+            # null-safe struct compare drops unchanged keys entirely
+            .filter(
+                F.col("_in_old").isNull()
+                | F.col("_in_new").isNull()
+                | ~F.col("_op_img").eqNullSafe(F.col("_np_img"))
+            )
+            .select(
+                *keys,
+                "change_type",
+                *[F.col(f"_np_img.{c}").alias(c) for c in payload],
+            )
+        )
+
     # ---------- write paths ----------
 
     def _write_version_data(self, df: DataFrame, version: int, n_files_hint: int) -> dict[int, int]:

@@ -291,6 +291,39 @@ def test_compact_partial_wave(spark, tmpdir_path):
     assert t.read().count() == 20  # logical view unchanged mid-maintenance
 
 
+def test_changes_between_classifies_cdf(spark, tmpdir_path):
+    """Changelog read (≙ Iceberg incremental scan / Delta CDF):
+    insert/update/delete classification, unchanged keys dropped,
+    post-image payload, and null-padding across schema evolution."""
+    t = _table(spark, tmpdir_path)
+    t.apply_batch(_resolved(spark, [_row("i", 1, ("r1", "p", "c"), "a"),
+                                    _row("i", 2, ("r2", "p", "c"), "b"),
+                                    _row("i", 3, ("r3", "p", "c"), "c")]), "e1")
+    m_old = t.manifest()
+    t.apply_batch(_resolved(spark, [_row("u", 10, ("r1", "p", "c"), "a2"),
+                                    _row("d", 11, ("r2", "p", "c")),
+                                    _row("i", 12, ("r4", "p", "c"), "d")]), "e2")
+    ch = {r["repo"]: r.asDict() for r in t.changes_between(m_old, t.manifest()).collect()}
+    assert set(ch) == {"r1", "r2", "r4"}  # r3 unchanged => absent
+    assert ch["r1"]["change_type"] == "update" and ch["r1"]["content"] == "a2"
+    assert ch["r2"]["change_type"] == "delete" and ch["r2"]["content"] is None
+    assert ch["r4"]["change_type"] == "insert" and ch["r4"]["content"] == "d"
+    # diff across additive schema evolution: old side null-padded
+    m_mid = t.manifest()
+    evolved = _events(spark, [_row("i", 20, ("r5", "p", "c"), "e"),
+                              _row("u", 21, ("r1", "p", "c"), "a3")]).withColumn(
+        "content_sha", F.sha2(F.coalesce("content", F.lit("")), 256)
+    )
+    t.apply_batch(lww_resolve(evolved, K, O, P + ["content_sha"]), "e3")
+    ch2 = {r["repo"]: r.asDict() for r in t.changes_between(m_mid, t.manifest()).collect()}
+    assert set(ch2) == {"r1", "r5"}
+    assert ch2["r5"]["change_type"] == "insert" and ch2["r5"]["content_sha"] is not None
+    assert ch2["r1"]["change_type"] == "update" and ch2["r1"]["content"] == "a3"
+    # full-span diff old->final collapses to the NET change per key
+    net = {r["repo"]: r.asDict() for r in t.changes_between(m_old, t.manifest()).collect()}
+    assert net["r1"]["content"] == "a3" and net["r2"]["change_type"] == "delete"
+
+
 def test_mor_delta_counts_tracked(spark, tmpdir_path):
     """MoR manifests account for delta rows: physical rows =
     bucket_counts (base) + delta_counts (deltas); compaction folds the
