@@ -567,6 +567,26 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
 
 
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk LLM sequence packing: distributed global token
+    cumsum (range-partitioned two-pass, zipWithIndex pattern — driver
+    sees O(partitions) rows, never data). Oracle: single window cumsum
+    in SQL; equality proves the partition-parallel prefix sum matches
+    the sequential definition exactly."""
+    from go_cdc_spark.functions.text import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512, n_partitions=8)
+
+
+def q_text_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sha256-keyed train/val/test split — pure integer
+    threshold compare on a 60-bit key hash, reproduced bit-for-bit by
+    the DuckDB twin (same sha256 → int60 chain as the simhash oracle)."""
+    from go_cdc_spark.functions.text import split_by_hash
+
+    return split_by_hash(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-oracle checked: winnowing is deterministic, and its
     rolling hash never wraps uint64 on ASCII text, so the DuckDB twin
@@ -758,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "text_pack_sequences": q_text_pack_sequences,
+        "text_split_hash": q_text_split_hash,
         "dedup_winnow": q_dedup_winnow,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1110,6 +1132,23 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokens": (
             f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{bpe_sql}')) "
             "AS BIGINT) AS n_bpe_tokens FROM documents"
+        ),
+        # sequential definition of concat-and-chunk packing: one global
+        # window cumsum; the Spark side must reproduce it partition-parallel
+        "text_pack_sequences": (
+            "WITH t AS (SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM t) "
+            "SELECT doc_id, n_tokens, CAST(s // 512 AS BIGINT) AS seq_id, "
+            "CAST(s % 512 AS BIGINT) AS seq_pos FROM c"
+        ),
+        "text_split_hash": (
+            "WITH h AS (SELECT doc_id, ('0x' || substr(sha256("
+            "CAST(doc_id AS VARCHAR) || ':split'), 1, 15))::BIGINT AS hv FROM documents) "
+            f"SELECT doc_id, CASE WHEN hv < {int(0.9 * (1 << 60))} THEN 'train' "
+            f"WHEN hv < {int(0.95 * (1 << 60))} THEN 'val' ELSE 'test' END AS split FROM h"
         ),
         "dedup_exact": (
             "SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, "

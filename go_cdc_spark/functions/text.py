@@ -92,3 +92,99 @@ def fingerprint(text: Column) -> Column:
     """Whitespace-normalized content fingerprint (md5 hex) — the
     document-identity key for exact dedup."""
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing for LLM pretraining: documents
+    are concatenated in ``id_col`` order and chunked into fixed
+    ``budget``-token training sequences. Emits, per doc, the sequence it
+    starts in (``seq_id``) and its token offset within that sequence
+    (``seq_pos``) — exactly the layout a tokenize-and-pack dataloader
+    materializes.
+
+    Distributed global cumulative sum, two passes (the zipWithIndex
+    pattern — no single-partition window, no driver data):
+
+    1. range-repartition on ``id_col`` (order-preserving across
+       partitions), map-side per-partition token sums → driver collects
+       O(n_partitions) rows and prefix-sums them into start offsets;
+    2. per-partition window cumsum + broadcast-joined partition offset.
+
+    Like ``zipWithIndex``, assumes the input is deterministic under
+    recomputation (both passes must see the same range partitioning).
+    """
+    spark = df.sparkSession
+    from pyspark.sql import Window
+
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    d = (
+        df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
+        .repartitionByRange(n_parts, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    part_sums = {
+        r["_pid"]: r["s"]
+        for r in d.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(part_sums):
+        offsets.append((pid, acc))
+        acc += int(part_sums[pid] or 0)
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("_off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        d.join(F.broadcast(off_df), "_pid")
+        .withColumn("_start", start)
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_start") / budget).cast("long").alias("seq_id"),
+            F.pmod("_start", F.lit(budget)).cast("long").alias("seq_pos"),
+        )
+    )
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    train: float = 0.9,
+    val: float = 0.05,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    key hash: ``sha256(id:salt)`` → 60-bit integer → pure integer
+    threshold compare (no floating point anywhere, so any engine that
+    can sha256 reproduces the split bit-for-bit — the DuckDB oracle
+    does). Changing ``salt`` resamples the split; rows never migrate
+    between train and val/test under corpus growth (per-key hash, not
+    position). Pure Column expressions, zero Python, zero shuffles."""
+    h = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)), 256
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    t_train = int(train * (1 << 60))
+    t_val = int((train + val) * (1 << 60))
+    split = (
+        F.when(h < t_train, F.lit("train"))
+        .when(h < t_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

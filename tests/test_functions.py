@@ -504,3 +504,47 @@ def test_lsh_near_dup_recall_vs_exact(spark):
     assert approx <= exact  # verified candidates: zero false positives
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
+
+
+def test_pack_sequences_partition_invariant(spark):
+    """The two-pass distributed cumsum must equal the sequential
+    definition regardless of partition count — same seq_id/seq_pos at
+    n_partitions=1 (single window) and n_partitions=7."""
+    from go_cdc_spark.functions.text import pack_sequences
+
+    rows = [(i, "tok " * ((i * 7) % 23 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r["doc_id"]: (r["seq_id"], r["seq_pos"], r["n_tokens"])
+         for r in pack_sequences(df, budget=64, n_partitions=1).collect()}
+    b = {r["doc_id"]: (r["seq_id"], r["seq_pos"], r["n_tokens"])
+         for r in pack_sequences(df, budget=64, n_partitions=7).collect()}
+    assert a == b and len(a) == 200
+    # sequential semantics: starts are the exclusive prefix sum in id order
+    start = 0
+    for i in range(200):
+        sid, pos, n = a[i]
+        assert (sid, pos) == (start // 64, start % 64)
+        start += n
+
+
+def test_split_by_hash_deterministic_and_stable(spark):
+    """Split is deterministic, covers every row, roughly honors the
+    weights, and per-key assignment is invariant under corpus growth
+    (hash-keyed, not position-keyed)."""
+    from go_cdc_spark.functions.text import split_by_hash
+
+    docs = spark.read.parquet(DOCS)
+    out1 = {r["doc_id"]: r["split"] for r in split_by_hash(docs).collect()}
+    out2 = {r["doc_id"]: r["split"] for r in split_by_hash(docs).collect()}
+    assert out1 == out2 and set(out1.values()) <= {"train", "val", "test"}
+    n = len(out1)
+    frac_train = sum(1 for v in out1.values() if v == "train") / n
+    assert 0.8 <= frac_train <= 0.97
+    # growth stability: assignments on a subset are unchanged
+    sub = {r["doc_id"]: r["split"]
+           for r in split_by_hash(docs.filter("doc_id < 50")).collect()}
+    assert all(out1[k] == v for k, v in sub.items())
+    # different salt resamples
+    alt = {r["doc_id"]: r["split"]
+           for r in split_by_hash(docs, salt="other").collect()}
+    assert alt != out1
