@@ -725,6 +725,22 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table, exact-oracle checked in
+    init-only mode (n_iters=0 + sha256 init): cluster assignment and
+    the in-cluster lower-id ε-neighbor drop rule are replayed step for
+    step by the DuckDB twin. Production-mode (Lloyd-trained) quality is
+    pinned separately by tests/test_functions.py. ``keep`` emitted as
+    int 0/1 so both engines canonicalize identically."""
+    from go_cdc_spark.functions.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        _emb(spark, sf_dir), threshold=0.4, n_centroids=16,
+        n_iters=0, init_hash="sha256",
+    )
+    return out.select("vec_id", "cid", F.col("keep").cast("int").alias("keep"))
+
+
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing with stubbed codec, emitted as scalar
     columns only (``features_fingerprint`` digests the float vector)
@@ -792,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup_lsh": q_sim_near_dup_lsh,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_semantic_dedup": q_sim_semantic_dedup,
         "mm_features": q_mm_features,
     }
 
@@ -971,6 +988,36 @@ def _ivf_ann_oracle_sql(n_centroids=16, n_probe=6, seed=42, k=10, max_query_id=5
         "ORDER BY cos DESC, neighbor_id) AS rn FROM scored) "
         "SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim, "
         f"CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= {k}"
+    )
+
+
+def _semantic_dedup_oracle_sql(n_centroids=16, seed=42, threshold=0.4) -> str:
+    """DuckDB twin of q_sim_semantic_dedup (init-only oracle mode):
+    sha256 init ordering, unit-normalized centroids, argmax cell
+    assignment with (sim DESC, cid) ties, then the SemDeDup drop rule —
+    a row is dropped iff a LOWER-id row in the SAME cluster has cosine
+    ≥ threshold. Tracks semantic_dedup(n_iters=0, init_hash='sha256')."""
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "init AS (SELECT vec_id, v, row_number() OVER (ORDER BY "
+        f"sha256(CAST(vec_id AS VARCHAR) || ':{seed}')) AS rn FROM e), "
+        "cents AS (SELECT rn - 1 AS cid, list_transform(v, x -> "
+        "x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS c "
+        f"FROM init WHERE rn <= {n_centroids}), "
+        "en AS (SELECT vec_id, list_transform(v, x -> "
+        "x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS vn FROM e), "
+        "sims AS (SELECT en.vec_id, cents.cid, "
+        "list_dot_product(en.vn, cents.c) AS sim FROM en, cents), "
+        "asg AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY sim DESC, cid) AS rn FROM sims), "
+        "cell AS (SELECT vec_id, cid FROM asg WHERE rn = 1), "
+        "drops AS (SELECT DISTINCT a.vec_id FROM cell a "
+        "JOIN cell b ON a.cid = b.cid AND b.vec_id < a.vec_id "
+        "JOIN en an ON an.vec_id = a.vec_id JOIN en bn ON bn.vec_id = b.vec_id "
+        f"WHERE list_dot_product(an.vn, bn.vn) >= {threshold}) "
+        "SELECT cell.vec_id, CAST(cell.cid AS INTEGER) AS cid, "
+        "CAST(drops.vec_id IS NULL AS INTEGER) AS keep "
+        "FROM cell LEFT JOIN drops ON drops.vec_id = cell.vec_id"
     )
 
 
@@ -1294,4 +1341,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_lsh": _lsh_ann_oracle_sql(n_bits=3, n_tables=16),
         "sim_near_dup_lsh": _lsh_near_dup_oracle_sql(threshold=0.45, n_bits=3, n_tables=16),
         "sim_ann_ivf": _ivf_ann_oracle_sql(n_probe=12),
+        "sim_semantic_dedup": _semantic_dedup_oracle_sql(),
     }

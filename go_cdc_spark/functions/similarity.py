@@ -559,3 +559,73 @@ def near_dup_by_cosine_lsh(
         .filter(F.col("_s") >= threshold)  # threshold UNROUNDED, round survivors
         .select("doc_a", "doc_b", F.round("_s", 6).alias("cos_sim"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_sample: int = 200_000,
+    init_hash: str = "xxhash64",
+    chunk: int = 2048,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with spherical k-means, then inside each cluster
+    drop every vector that has a LOWER-id neighbor with cosine ≥
+    ``threshold`` — per-point ε-neighbor pruning, deliberately NOT
+    connected components (matching the paper: one representative
+    survives per tight semantic neighborhood, chains don't merge).
+    Emits every row with its cluster and a ``keep`` verdict.
+
+    Scale shape: k-means trains on a cached hash-sample (see
+    :func:`kmeans_centroids`), assignment is one full scan, and the
+    O(n²) compare is confined to ``groupBy(cid).applyInPandas`` — work
+    is Σ_clusters |cluster|², and worker memory is bounded by
+    ``chunk × |cluster|`` (the per-cluster GEMM runs in row chunks, the
+    full pair matrix is never materialized). At 10⁹ docs you raise
+    ``n_centroids`` so clusters stay ~10⁴ — the paper's regime.
+
+    ``n_iters=0`` + ``init_hash="sha256"`` is the oracle mode: the
+    whole chain (init ordering, argmax cell, in-cluster ε-neighbor
+    test) is reproduced in ANSI SQL by the DuckDB twin.
+    """
+    cents = kmeans_centroids(
+        df, n_centroids, n_iters, id_col, vec_col, seed, train_sample, init_hash
+    )
+    cell = _nearest_centroids(df, cents, 1, id_col, vec_col)
+    v = df.join(cell, id_col).select(id_col, vec_col, "cid")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("keep", T.BooleanType()),
+        ]
+    )
+
+    def prune(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        n = len(mat)
+        keep = np.ones(n, dtype=bool)
+        # rows sorted by id: row i is dropped iff any j<i has sim>=thr;
+        # chunked GEMM keeps memory at O(chunk * n)
+        for lo in range(1, n, chunk):
+            hi = min(lo + chunk, n)
+            sims = mat[lo:hi] @ mat.T  # (hi-lo, n)
+            for r in range(lo, hi):
+                if (sims[r - lo, :r] >= threshold).any():
+                    keep[r] = False
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "cid": np.full(n, key[0], dtype=np.int32),
+                "keep": keep,
+            }
+        )
+
+    return v.groupBy("cid").applyInPandas(prune, schema=out_schema)

@@ -548,3 +548,37 @@ def test_split_by_hash_deterministic_and_stable(spark):
     alt = {r["doc_id"]: r["split"]
            for r in split_by_hash(docs, salt="other").collect()}
     assert alt != out1
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    """Production-mode SemDeDup (Lloyd-trained clusters): planted
+    near-copies of corpus vectors must be dropped (their original has a
+    lower id and cosine ~1), originals kept; verdicts verified against
+    a brute-force in-cluster check."""
+    from go_cdc_spark.functions.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(120, 16).astype(np.float64)
+    rows = [(i, base[i].tolist()) for i in range(120)]
+    # ids 1000+ are jittered copies of vectors 0..19
+    for i in range(20):
+        rows.append((1000 + i, (base[i] + rng.randn(16) * 1e-3).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.98, n_centroids=8, n_iters=3, seed=1)
+    got = {r["vec_id"]: (r["cid"], r["keep"]) for r in out.collect()}
+    assert len(got) == 140
+    for i in range(20):  # copy lands in the original's cluster and drops
+        assert got[1000 + i][0] == got[i][0]
+        assert got[1000 + i][1] is False and got[i][1] is True
+    # brute-force verify every verdict within each cluster
+    import collections
+    vecs = {vid: np.asarray(v) / np.linalg.norm(v) for vid, v in rows}
+    by_cid = collections.defaultdict(list)
+    for vid, (cid, _) in got.items():
+        by_cid[cid].append(vid)
+    for cid, vids in by_cid.items():
+        for vid in vids:
+            has_lower = any(
+                o < vid and float(vecs[o] @ vecs[vid]) >= 0.98 for o in vids
+            )
+            assert got[vid][1] == (not has_lower), (cid, vid)
