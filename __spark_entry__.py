@@ -587,6 +587,28 @@ def q_text_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_by_hash(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k: map-side-combined token counts +
+    TakeOrderedAndProject global top-k (per-partition heaps, no full
+    vocab sort). Deterministic ties (freq DESC, token ASC) make the
+    cutoff row exact in both engines."""
+    from go_cdc_spark.functions.text import vocab_top_k
+
+    return vocab_top_k(_docs(spark, sf_dir), k=50)
+
+
+def q_text_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus quality gate: token-length window + punctuation
+    cap + language allowlist as ONE codegen'd scan predicate — the
+    filtering stage of a pretraining data pipeline, composed from the
+    oracle-checked quality/lang-id columns."""
+    from go_cdc_spark.functions.text import filter_corpus
+
+    return filter_corpus(
+        _docs(spark, sf_dir), min_tokens=40, max_tokens=80, langs=("en",)
+    ).select("doc_id", "n_tokens", "punct_per_100_chars")
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-oracle checked: winnowing is deterministic, and its
     rolling hash never wraps uint64 on ASCII text, so the DuckDB twin
@@ -796,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_pack_sequences": q_text_pack_sequences,
         "text_split_hash": q_text_split_hash,
+        "text_vocab": q_text_vocab,
+        "text_filter_corpus": q_text_filter_corpus,
         "dedup_winnow": q_dedup_winnow,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1190,6 +1214,27 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM t) "
             "SELECT doc_id, n_tokens, CAST(s // 512 AS BIGINT) AS seq_id, "
             "CAST(s % 512 AS BIGINT) AS seq_pos FROM c"
+        ),
+        "text_vocab": (
+            "WITH tk AS (SELECT unnest(list_filter(regexp_split_to_array("
+            "lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS token FROM documents), "
+            "c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tk GROUP BY token) "
+            "SELECT token, freq FROM c ORDER BY freq DESC, token LIMIT 50"
+        ),
+        "text_filter_corpus": (
+            "WITH q AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars_q, "
+            "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, "
+            "length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct FROM documents), "
+            "s AS (SELECT *, round(n_punct * 100.0 / greatest(n_chars_q, 1), 4) AS punct_per_100_chars, "
+            "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) s_en, "
+            "len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) s_de, "
+            "len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) s_fr, "
+            "len(regexp_extract_all(lower(text), '\\b(el|los|las|y|es)\\b')) s_es, "
+            "len(regexp_extract_all(text, '[一-鿿]')) s_zh FROM q) "
+            "SELECT doc_id, n_tokens, punct_per_100_chars FROM s "
+            "WHERE n_tokens BETWEEN 40 AND 80 AND punct_per_100_chars <= 25.0 "
+            "AND s_zh = 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es"
         ),
         "text_split_hash": (
             "WITH h AS (SELECT doc_id, ('0x' || substr(sha256("

@@ -188,3 +188,44 @@ def split_by_hash(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def vocab_top_k(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent lowercased whitespace
+    tokens with deterministic ties (freq DESC, token ASC). The groupBy
+    count is map-side-combined (partial_count before the shuffle, so
+    shuffle volume is |vocab| per partition, not |tokens|), and the
+    global top-k plans as TakeOrderedAndProject — per-partition heaps,
+    no full sort of the vocabulary."""
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    return counts.orderBy(F.col("freq").desc(), F.col("token")).limit(k)
+
+
+def filter_corpus(
+    df: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 1_000_000,
+    max_punct_per_100: float = 25.0,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-corpus quality gate: length window + punctuation-density
+    cap + language allowlist, composed from the oracle-checked quality
+    and lang-id columns. Pure Column expressions — the filter is one
+    codegen'd predicate over the scan, no shuffle, no Python."""
+    q = quality_features(df, text_col)
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("punct_per_100_chars") <= max_punct_per_100)
+        & lang_id(F.col(text_col)).isin(*langs)
+    )
+    return q.filter(keep)

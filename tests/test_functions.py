@@ -582,3 +582,40 @@ def test_semantic_dedup_drops_planted_copies(spark):
                 o < vid and float(vecs[o] @ vecs[vid]) >= 0.98 for o in vids
             )
             assert got[vid][1] == (not has_lower), (cid, vid)
+
+
+def test_vocab_top_k_counts_and_ties(spark):
+    from go_cdc_spark.functions.text import vocab_top_k
+
+    df = spark.createDataFrame(
+        [(1, "a b b C c c"), (2, "c A a"), (3, "   ")], ["doc_id", "text"]
+    )
+    out = [(r["token"], r["freq"]) for r in vocab_top_k(df, k=2).collect()]
+    # lowercased: c=4, a=3, b=2; deterministic order freq DESC, token ASC
+    assert out == [("c", 4), ("a", 3)]
+    # tie order: freq-3 'a' vs freq-3 'ab' -> token ASC
+    df2 = spark.createDataFrame([(1, "x x x y y y")], ["doc_id", "text"])
+    out2 = [(r["token"], r["freq"]) for r in vocab_top_k(df2, k=2).collect()]
+    assert out2 == [("x", 3), ("y", 3)]
+
+
+def test_filter_corpus_gates(spark):
+    from go_cdc_spark.functions.text import filter_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is to be found"),  # en, 12 tok
+            (2, "short text"),  # too short
+            (3, "der hund und die katze und der vogel und das haus ist"),  # de
+            (4, "a! b! c! d! e! f! g! h! i! j! k! l!"),  # punct-dense
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["doc_id"] for r in filter_corpus(
+        df, min_tokens=5, max_tokens=50, max_punct_per_100=10, langs=("en",)
+    ).collect()}
+    assert kept == {1}
+    kept_all = {r["doc_id"] for r in filter_corpus(
+        df, min_tokens=5, max_tokens=50, max_punct_per_100=50, langs=("en", "de")
+    ).collect()}
+    assert kept_all == {1, 3, 4}
