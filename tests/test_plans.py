@@ -61,3 +61,42 @@ def test_events_query_filter_pushdown(spark):
     pf = pushed_filters(q)
     assert "EqualTo(event_type,click)" in pf and "GreaterThanOrEqual(value,250.0)" in pf
     assert reads_only_columns(q, {"event_id", "event_type", "value"})
+
+
+def test_pack_sequences_plan_broadcasts_offsets(spark):
+    """The packing cumsum must broadcast the O(P) offset table (never
+    shuffle the corpus for that join) and stay within its two planned
+    shuffles (range repartition + per-pid window)."""
+    from go_cdc_spark.functions.text import pack_sequences
+    from go_cdc_spark.plans.inspect import formatted_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences(docs, budget=512, n_partitions=4)
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert shuffle_count(out) <= 2, formatted_plan(out)
+
+
+def test_vocab_topk_plan_heap_and_partial_agg(spark):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    heaps, no full vocab sort) with a map-side partial count."""
+    from go_cdc_spark.functions.text import vocab_top_k
+    from go_cdc_spark.plans.inspect import formatted_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = vocab_top_k(docs, k=50)
+    plan = formatted_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_filter_corpus_plan_no_shuffle(spark):
+    """The quality gate is one codegen'd scan predicate — no shuffle,
+    no Python."""
+    from go_cdc_spark.functions.text import filter_corpus
+    from go_cdc_spark.plans.inspect import codegen_stage_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = filter_corpus(docs, min_tokens=40, max_tokens=80, langs=("en",))
+    assert shuffle_count(out) == 0
+    assert codegen_stage_count(out) >= 1
