@@ -353,3 +353,38 @@ def test_mor_delta_counts_tracked(spark, tmpdir_path):
         assert bs in m2["delta_counts"] and m2["delta_counts"][bs] > 0
     for bs in m2["delta_counts"]:
         assert bs in m2["deltas"]  # compacted buckets drop their count
+
+
+def test_changelog_applies_back_to_state(spark, tmpdir_path):
+    """CDF soundness: applying changes_between(m_a, m_b) onto the live
+    state at m_a reproduces the live state at m_b exactly — for every
+    consecutive epoch pair and for the full span."""
+    t = _table(spark, tmpdir_path)
+    manifests = []
+    t.apply_batch(_resolved(spark, [_row("i", i, (f"r{i % 4}", "p", f"c{i % 2}"), f"v{i}") for i in range(8)]), "e1")
+    manifests.append(t.manifest())
+    t.apply_batch(_resolved(spark, [_row("u", 20, ("r0", "p", "c0"), "upd"),
+                                    _row("d", 21, ("r1", "p", "c1"))]), "e2")
+    manifests.append(t.manifest())
+    t.apply_batch(_resolved(spark, [_row("i", 30, ("r9", "p", "c"), "new"),
+                                    _row("u", 31, ("r0", "p", "c0"), "upd2")]), "e3")
+    manifests.append(t.manifest())
+
+    def state(m):
+        return {(r["repo"], r["path"], r["commit"]): (r["lang"], r["content"])
+                for r in t.read(manifest=m).collect()}
+
+    def apply_changes(s, ch_rows):
+        s = dict(s)
+        for r in ch_rows:
+            k = (r["repo"], r["path"], r["commit"])
+            if r["change_type"] == "delete":
+                s.pop(k)
+            else:
+                s[k] = (r["lang"], r["content"])
+        return s
+
+    pairs = [(0, 1), (1, 2), (0, 2)]
+    for a, b in pairs:
+        ch = t.changes_between(manifests[a], manifests[b]).collect()
+        assert apply_changes(state(manifests[a]), ch) == state(manifests[b]), (a, b)
