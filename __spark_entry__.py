@@ -134,6 +134,26 @@ def q_cdc_op_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(_op(ev).alias("op")).agg(F.count("*").alias("n"))
 
 
+def q_cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing (production twin of O10's fail-fast): a
+    corrupted feed — every 97th event's op mangled to 'x', every 89th
+    nulled — is split into good/quarantine streams instead of failing
+    the replay; returns the quarantined rows. The split is two pushed
+    filter predicates, no shuffle; good ∪ bad == input is pinned by
+    tests/test_resolve.py."""
+    from go_cdc_spark.operators.resolve import split_bad_records
+
+    ev = _events(spark, sf_dir)
+    op = (
+        F.when(F.col("event_id") % 97 == 0, F.lit("x"))
+        .when(F.col("event_id") % 89 == 0, F.lit(None).cast("string"))
+        .otherwise(_op(ev))
+    )
+    log = ev.select("event_id", "user_id", op.alias("op"))
+    _good, bad = split_bad_records(log)
+    return bad.select("event_id", "user_id", "op")
+
+
 def q_cdc_snapshot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: snapshot scan row count (≙ dumper_test.go:12-43 seed-100 →
     dump → count==100)."""
@@ -799,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rate_cap": q_cdc_rate_cap,
         "cdc_exact_dedupe": q_cdc_exact_dedupe,
         "cdc_op_routing": q_cdc_op_routing,
+        "cdc_dead_letter": q_cdc_dead_letter,
         "cdc_snapshot_count": q_cdc_snapshot_count,
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_delete_apply": q_cdc_delete_apply,
@@ -1072,6 +1093,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_op_routing": (
             f"SELECT {_OP_SQL} AS op, CAST(count(*) AS BIGINT) AS n "
             f"FROM events GROUP BY 1"
+        ),
+        "cdc_dead_letter": (
+            "SELECT event_id, user_id, CASE WHEN event_id % 97 = 0 THEN 'x' END AS op "
+            "FROM events WHERE event_id % 97 = 0 OR event_id % 89 = 0"
         ),
         "cdc_snapshot_count": "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events",
         "cdc_merge_upsert": _LWW_RANKED_SQL + live_select,

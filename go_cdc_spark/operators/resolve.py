@@ -47,6 +47,24 @@ def checked_op(col: Column | str = "op") -> Column:
     )
 
 
+def split_bad_records(df: DataFrame, op_col: str = "op") -> tuple[DataFrame, DataFrame]:
+    """Dead-letter routing — the production alternative to
+    :func:`checked_op`'s fail-fast: rows with a valid op continue, rows
+    with an unknown or null op are diverted to a quarantine stream
+    instead of poisoning the whole replay (one malformed event in a
+    10^10-event feed should not fail the job; ≙ the reference's
+    query_generator.go:39-48 error path, upgraded to routing).
+
+    Returns ``(good, bad)``. Both are plain filters over the same
+    source — no shuffle; when the source is a parquet scan the
+    predicates push down, and null ops land in ``bad`` (never silently
+    dropped: good ∪ bad == input, good ∩ bad == ∅)."""
+    is_valid = F.coalesce(
+        F.col(op_col).isin(*schemas.VALID_OPS), F.lit(False)
+    )
+    return df.filter(is_valid), df.filter(~is_valid)
+
+
 def dedupe_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
     """Exact-duplicate removal (boundary event re-read, SURVEY §2.2-1).
 

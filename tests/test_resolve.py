@@ -126,3 +126,28 @@ def test_filters_and_token(spark):
     tok = (1_700_000_000, 500, 500)
     after = from_token(df, tok)
     assert after.count() == df.count() - 501  # seqs 0..500 excluded
+
+
+def test_split_bad_records_partitions_input(spark):
+    """Dead-letter routing: good ∪ bad == input, good ∩ bad == ∅,
+    null ops land in bad (never silently dropped), and replaying only
+    the good stream matches the oracle over the good events."""
+    from go_cdc_spark.operators.resolve import split_bad_records
+
+    from pyspark.sql import functions as F
+
+    rows = [_row("i", 1), _row("u", 2), _row("d", 3, key=("r2", "p", "c")),
+            _row("i", 4, key=("r3", "p", "c")), _row("i", 5, key=("r4", "p", "c"))]
+    df = _mk(spark, rows).withColumn(
+        "op",
+        F.when(F.col("seq") == 4, F.lit("x"))
+        .when(F.col("seq") == 5, F.lit(None).cast("string"))
+        .otherwise(F.col("op")),
+    )
+    good, bad = split_bad_records(df)
+    assert good.count() == 3 and bad.count() == 2
+    assert {r["repo"] for r in bad.collect()} == {"r3", "r4"}
+    assert good.count() + bad.count() == df.count()
+    # the good stream replays cleanly (validation passes)
+    out = lww_resolve(good, KEYS, ORDER, PAYLOAD).collect()
+    assert {r["repo"] for r in out} == {"r1", "r2"}
