@@ -154,6 +154,35 @@ def q_cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad.select("event_id", "user_id", "op")
 
 
+def q_cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) join — point-in-time lookup: every click event
+    gets the user's latest purchase value at-or-before its timestamp.
+    One shuffle (union + per-key ordered window), no range-join blowup;
+    right-side (user, ts) ties resolve to the highest event_id. The
+    oracle is DuckDB's native ASOF LEFT JOIN over the tie-reduced right
+    side — engine-vs-engine on an operator Spark has no builtin for."""
+    from go_cdc_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.round("value", 2).alias("pval")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        ts_col="ts",
+        payload_cols=["pval"],
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("pval").alias("last_purchase_value")
+    )
+
+
 def q_cdc_snapshot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: snapshot scan row count (≙ dumper_test.go:12-43 seed-100 →
     dump → count==100)."""
@@ -820,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_exact_dedupe": q_cdc_exact_dedupe,
         "cdc_op_routing": q_cdc_op_routing,
         "cdc_dead_letter": q_cdc_dead_letter,
+        "cdc_asof_join": q_cdc_asof_join,
         "cdc_snapshot_count": q_cdc_snapshot_count,
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_delete_apply": q_cdc_delete_apply,
@@ -1097,6 +1127,18 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dead_letter": (
             "SELECT event_id, user_id, CASE WHEN event_id % 97 = 0 THEN 'x' END AS op "
             "FROM events WHERE event_id % 97 = 0 OR event_id % 89 = 0"
+        ),
+        # native ASOF LEFT JOIN vs our union+window formulation; right
+        # (user, ts) ties pre-reduced to the highest event_id, matching
+        # the Spark side's tiebreak_cols=["event_id"]
+        "cdc_asof_join": (
+            "WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
+            "r0 AS (SELECT user_id, ts, round(value, 2) AS pval, "
+            "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn "
+            "FROM events WHERE event_type = 'purchase'), "
+            "r AS (SELECT user_id, ts, pval FROM r0 WHERE rn = 1) "
+            "SELECT l.event_id, l.user_id, r.pval AS last_purchase_value "
+            "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "cdc_snapshot_count": "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events",
         "cdc_merge_upsert": _LWW_RANKED_SQL + live_select,

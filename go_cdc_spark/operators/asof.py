@@ -1,0 +1,70 @@
+"""As-of (temporal) join — an operator Spark lacks natively.
+
+For every left row, attach the payload of the LATEST right row with
+``right.ts <= left.ts`` in the same key group (the point-in-time lookup
+a CDC consumer needs: "what was the dimension state when this event
+happened?"). The reference has no joins at all (SURVEY §2.3); this is
+an engine extension, oracle-checked against DuckDB's native ASOF JOIN.
+
+Implementation is the union + ordered-window trick, NOT a range join:
+
+1. union both sides, tagged ``_side`` (right=0, left=1) with each
+   other's columns null-padded;
+2. one window per key ordered by (ts, _side, tiebreak...):
+   ``last(right_payload, ignorenulls=True)`` over rows from the start
+   of the key group through the current row carries the most recent
+   right value forward onto every left row;
+3. keep only left rows.
+
+Scale shape: exactly ONE shuffle (the window's hash partition on key) —
+no O(|L|·|R|) range-join blowup, no broadcast requirement on either
+side. Skewed keys behave like any windowed aggregate (AQE handles
+residual skew). Right-side ties on (key, ts) are broken by
+``tiebreak_cols`` (latest wins), keeping the result deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_SIDE = "_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Left as-of join: ``left`` rows + latest at-or-before ``right``
+    payload per key. Left rows with no prior right row get nulls
+    (LEFT-join semantics). ``right`` may carry multiple rows per
+    (key, ts); the winner is the last by ``tiebreak_cols``."""
+    key_cols = list(key_cols)
+    payload_cols = list(payload_cols)
+    tiebreak_cols = list(tiebreak_cols)
+    l_cols = left.columns
+    r = right.select(
+        *key_cols,
+        ts_col,
+        *tiebreak_cols,
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+    ).withColumn(_SIDE, F.lit(0))
+    l = left.withColumn(_SIDE, F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left at equal ts (<= semantics); right
+    # ties resolve by tiebreak order (latest wins via last())
+    order = [F.col(ts_col), F.col(_SIDE)] + [F.col(c) for c in tiebreak_cols]
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    attached = [
+        F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c) for c in payload_cols
+    ]
+    return u.select(*l_cols, _SIDE, *attached).filter(F.col(_SIDE) == 1).drop(_SIDE)
