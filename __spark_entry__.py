@@ -183,6 +183,35 @@ def q_cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join without the nested-loop plan: clicks matched to
+    every purchase window [ts, ts+1h] of the same user, via the
+    bucketed equi-join formulation (explode intervals into 10-min
+    buckets, hash-join on (user, bucket), residual BETWEEN). The plan
+    is asserted BroadcastNestedLoopJoin-free in tests/test_asof.py;
+    the oracle is the plain inequality join DuckDB can afford at
+    sf0.01."""
+    from go_cdc_spark.operators.asof import range_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("s"),
+        (F.unix_timestamp("ts").cast("long") + 3600).alias("e"),
+    )
+    out = range_join(
+        clicks, purchases, key_cols=["user_id"], ts_col="t",
+        start_col="s", end_col="e", bucket_width=600,
+    )
+    return out.select("click_id", "purchase_id", "user_id")
+
+
 def q_cdc_snapshot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: snapshot scan row count (≙ dumper_test.go:12-43 seed-100 →
     dump → count==100)."""
@@ -850,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_routing": q_cdc_op_routing,
         "cdc_dead_letter": q_cdc_dead_letter,
         "cdc_asof_join": q_cdc_asof_join,
+        "cdc_range_join": q_cdc_range_join,
         "cdc_snapshot_count": q_cdc_snapshot_count,
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_delete_apply": q_cdc_delete_apply,
@@ -1139,6 +1169,15 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT user_id, ts, pval FROM r0 WHERE rn = 1) "
             "SELECT l.event_id, l.user_id, r.pval AS last_purchase_value "
             "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        # plain inequality join as the oracle for the bucketed equi-join
+        "cdc_range_join": (
+            "WITH l AS (SELECT event_id AS click_id, user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_type = 'click'), "
+            "r AS (SELECT event_id AS purchase_id, user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events WHERE event_type = 'purchase') "
+            "SELECT l.click_id, r.purchase_id, l.user_id FROM l JOIN r "
+            "ON l.user_id = r.user_id AND l.t >= r.s AND l.t <= r.s + 3600"
         ),
         "cdc_snapshot_count": "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events",
         "cdc_merge_upsert": _LWW_RANKED_SQL + live_select,

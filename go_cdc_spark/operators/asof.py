@@ -68,3 +68,45 @@ def asof_join(
         F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c) for c in payload_cols
     ]
     return u.select(*l_cols, _SIDE, *attached).filter(F.col(_SIDE) == 1).drop(_SIDE)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval (range) join: inner-join every left row to every right
+    interval with ``start <= ts <= end`` in the same key group.
+
+    Spark plans a raw inequality join as BroadcastNestedLoopJoin /
+    CartesianProduct — O(|L|·|R|) and a broadcast requirement. This
+    operator turns it into an EQUI-join: each right interval explodes
+    into the fixed-width time buckets it covers (``sequence`` — JVM-
+    side, ≈ interval_len / bucket_width rows), each left row maps to
+    exactly ONE bucket, and the join key becomes (key…, bucket) with a
+    residual BETWEEN filter. A (ts, interval) pair can meet in only one
+    bucket — the left row's — so no dedup pass is needed. Work is
+    O(|L| + Σ interval_len/width) shuffled rows through one hash join;
+    pick ``bucket_width`` near the typical interval length so intervals
+    explode into O(1) buckets.
+    """
+    key_cols = list(key_cols)
+    w = F.lit(bucket_width).cast("long")
+    l = left.withColumn("_bk", (F.col(ts_col).cast("long") / w).cast("long"))
+    r = right.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                (F.col(start_col).cast("long") / w).cast("long"),
+                (F.col(end_col).cast("long") / w).cast("long"),
+            )
+        ),
+    )
+    joined = l.join(r, on=key_cols + ["_bk"]).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    )
+    return joined.drop("_bk")
