@@ -557,6 +557,26 @@ def q_cdc_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_rates(log, window="10 minutes")
 
 
+def q_cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of F.session_window): one
+    row per (user, session) with start/end/count, 30-min gap,
+    deterministic (ts, event_id) ordering. Lag + cumulative-flag over
+    one key-partitioned window, rollup by (key, session) — two
+    shuffles, no per-session driver work."""
+    from go_cdc_spark.streaming.monitor import sessionize
+
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+        "event_id",
+    )
+    return sessionize(
+        log, key_cols=["user_id"], ts_col="t", gap_seconds=1800,
+        order_cols=["event_id"],
+    )
+
+
 def q_cdc_snapshot_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full stage machine (Init→Dump→Tail, SURVEY §3.1)
     through the real engine: snapshot the pre-split live state into the
@@ -892,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
         "cdc_window_rates": q_cdc_window_rates,
+        "cdc_sessionize": q_cdc_sessionize,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -1267,6 +1288,17 @@ def oracle_sql() -> dict[str, str]:
             f"{_OP_SQL} AS op, CAST(count(*) AS BIGINT) AS n_events, "
             "round(count(*) / 600.0, 6) AS events_per_sec "
             "FROM events GROUP BY 1, 2"
+        ),
+        # lag + cumulative-flag sessionization, (ts, event_id) tie order
+        "cdc_sessionize": (
+            "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id FROM events), "
+            "l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt FROM e), "
+            "f AS (SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800 THEN 1 ELSE 0 END AS ns FROM l), "
+            "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM f) "
+            "SELECT user_id, CAST(sid AS BIGINT) AS session_seq, min(t) AS session_start, "
+            "max(t) AS session_end, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM s GROUP BY user_id, sid"
         ),
         "cdc_snapshot_then_tail": (
             f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "

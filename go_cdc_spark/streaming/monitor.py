@@ -163,3 +163,48 @@ def stream_dedup_events(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_t",
+    gap_seconds: int = 1800,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of a key belong to
+    the same session while inter-event gaps stay ≤ ``gap_seconds``; a
+    longer silence starts a new one. Returns one row per session:
+    key…, session_seq (1-based per key), session_start/end (unix
+    seconds), n_events.
+
+    Classic lag + cumulative-flag formulation, fully deterministic via
+    ``order_cols`` tie-break: one key-partitioned window computes the
+    new-session flags and their running sum, then a groupBy rolls
+    sessions up. Two shuffles total (window by key, rollup by
+    key+session) — never a per-session driver loop, state independent
+    of event volume. ≙ the SQL-expressible batch twin of Spark's
+    streaming ``F.session_window``.
+    """
+    from pyspark.sql import Window
+
+    order_cols = order_cols or []
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col(ts_col) - prev) > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        df.withColumn("_ns", new_session)
+        .withColumn("session_seq", F.sum("_ns").over(run))
+        .groupBy(*key_cols, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )

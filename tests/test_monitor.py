@@ -120,3 +120,27 @@ def test_stream_dedup_events_within_watermark(spark, tmpdir_path):
     q.awaitTermination(120)
     seqs = sorted(r["seq"] for r in spark.sql("SELECT seq FROM dd1").collect())
     assert seqs == [1, 2, 3]  # the re-delivered seq=2 was dropped once
+
+
+def test_sessionize_gap_semantics(spark):
+    """Sessions split exactly where the gap EXCEEDS the threshold
+    (boundary gap == threshold stays in-session); per-key numbering is
+    1-based and independent across keys."""
+    from go_cdc_spark.streaming.monitor import sessionize
+
+    rows = [
+        # key 1: ts 0,100 | gap 1801 -> new session at 1901, 1950
+        (1, 0, 1), (1, 100, 2), (1, 1901, 3), (1, 1950, 4),
+        # boundary: gap exactly 1800 does NOT split
+        (2, 0, 5), (2, 1800, 6),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t long, event_id long")
+    out = sessionize(df, ["user_id"], ts_col="t", gap_seconds=1800,
+                     order_cols=["event_id"])
+    got = {(r["user_id"], r["session_seq"]): (r["session_start"], r["session_end"], r["n_events"])
+           for r in out.collect()}
+    assert got == {
+        (1, 1): (0, 100, 2),
+        (1, 2): (1901, 1950, 2),
+        (2, 1): (0, 1800, 2),
+    }
