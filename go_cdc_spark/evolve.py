@@ -3,8 +3,10 @@
 The reference gets schema evolution "for free" by being schemaless
 (``map[string]interface{}``, reference mongoreplay/message.go:11). Our
 contract: events may carry a *superset* of the table's payload columns;
-new columns are added as nullable, missing ones fill null. Only
-additive changes are allowed — a type conflict is an error.
+new columns are added as nullable, missing ones fill null, and
+same-name numeric columns widen along Iceberg's safe promotion set
+(int family → long, float → double). Any other type change is a
+non-additive conflict and raises.
 
 Two equivalent alignment paths:
 - ``align_to_schema``: pure Column expressions (null-pad + cast +
