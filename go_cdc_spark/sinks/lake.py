@@ -185,6 +185,16 @@ class ParquetLakeTable:
         ]
         return max(vs) if vs else None
 
+    def manifest_at(self, version: int) -> dict:
+        """Manifest of a specific committed version. Raises
+        FileNotFoundError if ``vacuum()`` already expired it — a
+        change-feed consumer must advance faster than vacuum retention
+        (≙ Iceberg snapshot expiry invalidating incremental reads)."""
+        with open(
+            os.path.join(self.root, "_commits", f"v{version:012d}.json")
+        ) as fh:
+            return json.load(fh)
+
     def manifest(self) -> dict:
         v = self.latest_version()
         with open(os.path.join(self._commits_dir, f"v{v:012d}.json")) as fh:

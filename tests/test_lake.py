@@ -388,3 +388,37 @@ def test_changelog_applies_back_to_state(spark, tmpdir_path):
     for a, b in pairs:
         ch = t.changes_between(manifests[a], manifests[b]).collect()
         assert apply_changes(state(manifests[a]), ch) == state(manifests[b]), (a, b)
+
+
+def test_change_feed_consumer_cursor(spark, tmpdir_path):
+    """Checkpointed change-feed consumption: bootstrap snapshot as
+    inserts, at-least-once redelivery until ack, only-net-changes after
+    ack, empty when caught up, independent consumers."""
+    from go_cdc_spark.sinks.consumer import ChangeFeedConsumer
+
+    t = _table(spark, f"{tmpdir_path}/table")
+    off = f"{tmpdir_path}/offsets"
+    t.apply_batch(_resolved(spark, [_row("i", 1, ("r1", "p", "c"), "a"),
+                                    _row("i", 2, ("r2", "p", "c"), "b")]), "e1")
+    c1 = ChangeFeedConsumer(t, off, "c1")
+    ch, v1 = c1.poll()
+    rows = {r["repo"]: r["change_type"] for r in ch.collect()}
+    assert rows == {"r1": "insert", "r2": "insert"}  # bootstrap snapshot
+    # un-acked poll redelivers the same thing (crash between poll/ack)
+    ch_again, v_again = c1.poll()
+    assert v_again == v1 and ch_again.count() == 2
+    c1.ack(v1)
+    empty, v_same = c1.poll()
+    assert empty.count() == 0 and v_same == v1  # caught up
+    # new epochs -> only the net changes since the acked cursor
+    t.apply_batch(_resolved(spark, [_row("u", 10, ("r1", "p", "c"), "a2"),
+                                    _row("d", 11, ("r2", "p", "c"))]), "e2")
+    t.apply_batch(_resolved(spark, [_row("u", 12, ("r1", "p", "c"), "a3")]), "e3")
+    ch2, v2 = c1.poll()
+    got = {r["repo"]: (r["change_type"], r["content"]) for r in ch2.collect()}
+    assert got == {"r1": ("update", "a3"), "r2": ("delete", None)}
+    c1.ack(v2)
+    # an independent consumer still bootstraps from scratch
+    c2 = ChangeFeedConsumer(t, off, "c2")
+    ch3, _ = c2.poll()
+    assert {r["repo"] for r in ch3.collect()} == {"r1"}  # r2 deleted
