@@ -144,3 +144,45 @@ def test_sessionize_gap_semantics(spark):
         (1, 2): (1901, 1950, 2),
         (2, 1): (0, 1800, 2),
     }
+
+
+def test_stream_change_feed_publishes_versions(spark, tmpdir_path):
+    """Streaming CDF publisher: readStream over the commit log turns
+    each new version into an idempotently published per-version diff;
+    a second run with the same checkpoint publishes ONLY new commits."""
+    from go_cdc_spark import schemas as S
+    from go_cdc_spark.operators.resolve import lww_resolve
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+    from go_cdc_spark.streaming.changefeed import (
+        read_change_feed,
+        stream_change_feed,
+    )
+
+    def _row(op, seq, key, content="x"):
+        r, p, c = key
+        lang, cont = (None, None) if op == "d" else ("py", content)
+        return (op, 1_700_000_000, seq, seq, r, p, c, lang, cont)
+
+    def _batch(rows):
+        df = spark.createDataFrame(rows, schema=S.EVENT_SCHEMA)
+        return lww_resolve(df, S.KEY_COLS, S.ORDER_COLS, S.PAYLOAD_COLS)
+
+    root = f"{tmpdir_path}/table"
+    t = ParquetLakeTable.create(spark, root, S.TABLE_SCHEMA, S.KEY_COLS, 4)
+    t.apply_batch(_batch([_row("i", 1, ("r1", "p", "c"), "a"),
+                          _row("i", 2, ("r2", "p", "c"), "b")]), "e1")
+    t.apply_batch(_batch([_row("u", 3, ("r1", "p", "c"), "a2")]), "e2")
+    cp, out = f"{tmpdir_path}/cp", f"{tmpdir_path}/out"
+    stream_change_feed(spark, root, cp, out).awaitTermination(120)
+    fed = read_change_feed(spark, out)
+    by_v = {(r["version"], r["repo"]): r["change_type"] for r in fed.collect()}
+    assert by_v == {
+        (1, "r1"): "insert", (1, "r2"): "insert",  # v1: bootstrap inserts
+        (2, "r1"): "update",
+    }
+    # new commit -> rerun with same checkpoint publishes only v3
+    t.apply_batch(_batch([_row("d", 4, ("r2", "p", "c"))]), "e3")
+    stream_change_feed(spark, root, cp, out).awaitTermination(120)
+    fed2 = {(r["version"], r["repo"]): r["change_type"]
+            for r in read_change_feed(spark, out).collect()}
+    assert fed2 == {**by_v, (3, "r2"): "delete"}
