@@ -450,7 +450,7 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed read (≙ Iceberg incremental scan / Delta CDF):
-    replay the log in 4 epochs, then diff the table state AS OF epoch 1
+    replay the log in 2 epochs, then diff the table state AS OF epoch 0
     against the final state via ``ParquetLakeTable.changes_between`` —
     every key classified insert/update/delete with post-image payload.
     The oracle replays both event prefixes independently and diffs them
@@ -467,7 +467,7 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = _derived_log(ev)
     max_id = ev.agg(F.max("event_id")).collect()[0][0]
     log = log.withColumn(
-        "segment", (F.col("seq") * 4 / (max_id + 1)).cast("long")
+        "segment", (F.col("seq") * 2 / (max_id + 1)).cast("long")
     )
     d = tempfile.mkdtemp(prefix="go_cdc_cdf_")
     log_dir = os.path.join(d, "log")
@@ -484,10 +484,10 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = ParquetLakeTable.create(
         spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
     )
-    replay_chunked(spark, cfg, chunk_segments=1)  # 4 epochs committed
+    replay_chunked(spark, cfg, chunk_segments=1)  # 2 epochs committed
     files = lake._epoch_manifest_files()
-    with open(os.path.join(cfg.table_root, "_commits", files[2])) as fh:
-        m_old = _json.load(fh)  # state after epochs 0 and 1
+    with open(os.path.join(cfg.table_root, "_commits", files[1])) as fh:
+        m_old = _json.load(fh)  # state after epoch 0 (first half of the log)
     return lake.changes_between(m_old, lake.manifest()).select(
         "user_id",
         "change_type",
@@ -1242,15 +1242,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type AS last_event_type, value AS last_value "
             "FROM r WHERE rn = 1 AND op <> 'd'"
         ),
-        # CDF diff: LWW-live state over segments<=1 vs over the full log,
-        # FULL OUTER JOIN on key, unchanged rows dropped (IS DISTINCT FROM)
+        # CDF diff: LWW-live state over the first half of the log vs the
+        # full log, FULL OUTER JOIN on key, unchanged rows dropped
         "cdc_changelog": (
             f"WITH mx AS (SELECT max(event_id) + 1 AS m FROM events), "
             f"ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
-            f"{_OP_SQL} AS op, CAST(floor(event_id * 4.0 / mx.m) AS BIGINT) AS seg "
+            f"{_OP_SQL} AS op, CAST(floor(event_id * 2.0 / mx.m) AS BIGINT) AS seg "
             "FROM events, mx), "
             "r_old AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn "
-            "FROM ev WHERE seg <= 1), "
+            "FROM ev WHERE seg <= 0), "
             "s_old AS (SELECT user_id, event_type, value FROM r_old WHERE rn = 1 AND op <> 'd'), "
             "r_new AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev), "
             "s_new AS (SELECT user_id, event_type, value FROM r_new WHERE rn = 1 AND op <> 'd') "
