@@ -48,6 +48,12 @@ def asof_join(
     payload_cols = list(payload_cols)
     tiebreak_cols = list(tiebreak_cols)
     l_cols = left.columns
+    clash = set(payload_cols) & set(l_cols)
+    if clash:
+        raise ValueError(
+            f"asof_join: payload column(s) {sorted(clash)} already exist "
+            "on the left side — alias them on one side first"
+        )
     r = right.select(
         *key_cols,
         ts_col,
@@ -95,6 +101,13 @@ def range_join(
     explode into O(1) buckets.
     """
     key_cols = list(key_cols)
+    clash = (set(left.columns) & set(right.columns)) - set(key_cols)
+    if clash:
+        raise ValueError(
+            f"range_join: non-key column(s) {sorted(clash)} exist on both "
+            "sides — alias them on one side first (the join would emit "
+            "ambiguous duplicates)"
+        )
     w = F.lit(bucket_width).cast("long")
     l = left.withColumn("_bk", (F.col(ts_col).cast("long") / w).cast("long"))
     r = right.withColumn(
