@@ -67,11 +67,14 @@ def build_spark(cpus: int, local_dir: str | None = None):
         .appName(f"go_cdc_scaling_{cpus}")
     )
     # Write-path / fairness knob set, individually A/B-able via
-    # SPARK_GRAFT_TUNE (comma-set of {split,buf,rawfs,gc}; default all
-    # on). An r3 A/B on a quiet box isolated which of these help and
-    # which hurt the wide level — see BENCH/BASELINE.md.
+    # SPARK_GRAFT_TUNE (comma-set of {split,buf,rawfs,gc}). Default is
+    # the A/B winner split,rawfs,gc — the 1 MB "buf" buffers measured
+    # as a 1.5x wall / 2x CPU REGRESSION at the wide level (each
+    # shuffle-file open zeroes a fresh 1 MB buffer, which IS the
+    # kernel page-alloc pressure they were meant to avoid) — see
+    # BENCH/BASELINE.md round-3 A/B table.
     tune = set(
-        os.environ.get("SPARK_GRAFT_TUNE", "split,buf,rawfs,gc").split(",")
+        os.environ.get("SPARK_GRAFT_TUNE", "split,rawfs,gc").split(",")
     )
     if "split" in tune:
         # Scan splits sized so one epoch's segment files fan out to >=
