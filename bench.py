@@ -91,7 +91,11 @@ def bench_replay(spark, n_events: int, mode: str = "cow") -> tuple[float, dict]:
             f"{d}/log",
             f"{d}/table",
             f"{d}/bm",
-            n_buckets=64,
+            # 32 (was 64): measured 1.3-8x faster at local[32] on both
+            # modes — halves per-epoch file creates / parquet writer
+            # opens, and MoR delta files stop being pathologically tiny
+            # (same A/B direction as bench_scaling's --n-buckets default)
+            n_buckets=32,
             salt_partitions=None,
         )
         n_segments = 8
