@@ -557,6 +557,52 @@ def q_cdc_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_rates(log, window="10 minutes")
 
 
+def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch lineage from the bookmark store (north_rule's
+    "per-partition lineage + metrics"): replay the log in 2 epochs,
+    then read back each tail epoch's recorded raw-event count and
+    high-water mark. The oracle recomputes both directly from the
+    event halves — equality proves the lineage the pipeline records
+    matches what it actually applied. (Bucket-level counts are also
+    recorded but are xxhash-bucketed, hence pinned by pytest rather
+    than a SQL twin.)"""
+    from go_cdc_spark import schemas
+    from go_cdc_spark.bookmark import BookmarkStore
+    from go_cdc_spark.config import PipelineConfig
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+    from go_cdc_spark.streaming.replay import replay_chunked
+
+    ev = _events(spark, sf_dir)
+    log = _derived_log(ev)
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    log = log.withColumn(
+        "segment", (F.col("seq") * 2 / (max_id + 1)).cast("long")
+    )
+    d = tempfile.mkdtemp(prefix="go_cdc_lineage_")
+    log_dir = os.path.join(d, "log")
+    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
+    cfg = PipelineConfig(
+        pipeline_id="entry-lineage",
+        source_log_path=log_dir,
+        table_root=os.path.join(d, "table"),
+        bookmark_root=os.path.join(d, "bm"),
+        key_cols=["user_id"],
+        order_cols=list(schemas.ORDER_COLS),
+        n_buckets=8,
+    )
+    ParquetLakeTable.create(
+        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
+    )
+    replay_chunked(spark, cfg, chunk_segments=1)
+    bm = BookmarkStore(cfg.bookmark_root, cfg.pipeline_id)
+    rows = [
+        (r.epoch, r.event_count, r.seq)
+        for r in bm.rows()
+        if r.stage == "tail" and r.status == "success"
+    ]
+    return spark.createDataFrame(rows, "epoch long, n_events long, hwm_seq long")
+
+
 def q_cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of F.session_window): one
     row per (user, session) with start/end/count, 30-min gap,
@@ -913,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
         "cdc_window_rates": q_cdc_window_rates,
         "cdc_sessionize": q_cdc_sessionize,
+        "cdc_lineage": q_cdc_lineage,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -1288,6 +1335,14 @@ def oracle_sql() -> dict[str, str]:
             f"{_OP_SQL} AS op, CAST(count(*) AS BIGINT) AS n_events, "
             "round(count(*) / 600.0, 6) AS events_per_sec "
             "FROM events GROUP BY 1, 2"
+        ),
+        # lineage truth: raw-event count + HWM per log half
+        "cdc_lineage": (
+            "WITH mx AS (SELECT max(event_id) + 1 AS m FROM events), "
+            "ev AS (SELECT event_id, CAST(floor(event_id * 2.0 / mx.m) AS BIGINT) AS seg "
+            "FROM events, mx) "
+            "SELECT seg AS epoch, CAST(count(*) AS BIGINT) AS n_events, "
+            "max(event_id) AS hwm_seq FROM ev GROUP BY seg"
         ),
         # lag + cumulative-flag sessionization, (ts, event_id) tie order
         "cdc_sessionize": (
