@@ -43,7 +43,14 @@ def asof_join(
     """Left as-of join: ``left`` rows + latest at-or-before ``right``
     payload per key. Left rows with no prior right row get nulls
     (LEFT-join semantics). ``right`` may carry multiple rows per
-    (key, ts); the winner is the last by ``tiebreak_cols``."""
+    (key, ts); the winner is the last by ``tiebreak_cols``.
+
+    Contract: right payload values must be non-null — the carry-forward
+    is ``last(ignorenulls)`` per column, so a null in a newer right row
+    would read through to the previous non-null value (and columns
+    would carry forward independently). Wrap nullable payloads in a
+    sentinel/struct on the caller side if "explicit null overwrites"
+    semantics are needed."""
     key_cols = list(key_cols)
     payload_cols = list(payload_cols)
     tiebreak_cols = list(tiebreak_cols)
