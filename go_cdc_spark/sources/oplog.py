@@ -82,6 +82,15 @@ def read_chunk(
             )
         # list, not varargs: reader.json()'s 2nd positional is a schema
         df = spark.read.schema(schema).json(list(paths))
+    elif fmt == "csv":
+        # CSV feeds (header-less segment exports): same explicit-schema
+        # rule as JSON — inference is a second full pass at 100 TB and
+        # mistypes sparse columns. Nulls as empty fields.
+        if schema is None:
+            raise ValueError(
+                "fmt='csv' requires an explicit schema (no inference at scale)"
+            )
+        df = spark.read.schema(schema).option("header", "false").csv(list(paths))
     else:
         raise ValueError(f"unknown oplog format: {fmt!r}")
     if token is not None:

@@ -264,3 +264,29 @@ def test_streaming_json_source_matches_oracle(spark, tmpdir_path):
     q.awaitTermination(120)
     lake = ParquetLakeTable.load(spark, cfg.table_root)
     assert _fingerprint(lake) == _oracle_fp(spark, pq_log)
+
+
+def test_csv_source_matches_parquet_replay(spark, tmpdir_path):
+    """CSV oplog segments (explicit schema, header-less) replay to the
+    same final state as the parquet log — format-agnostic pipeline."""
+    pq_cfg = _cfg(tmpdir_path, pipeline_id="pqc")
+    spec = LogSpec(n_events=3_000, segment_events=1_000, dup_every=101, seed=5)
+    write_segments(spark, spec, pq_cfg.source_log_path)
+    csv_log = os.path.join(tmpdir_path, "csvlog")
+    raw = spark.read.parquet(pq_cfg.source_log_path)
+    cols = [f.name for f in schemas.EVENT_SCHEMA.fields]
+    # column order is the read contract for header-less CSV
+    raw.select(*cols, "segment").repartition("segment").write.partitionBy(
+        "segment"
+    ).mode("overwrite").csv(csv_log)
+    csv_cfg = _cfg(tmpdir_path, pipeline_id="csv", source_format="csv")
+    csv_cfg.source_log_path = csv_log
+    csv_cfg.table_root = os.path.join(tmpdir_path, "csvtable")
+    for cfg in (pq_cfg, csv_cfg):
+        ParquetLakeTable.create(
+            spark, cfg.table_root, schemas.TABLE_SCHEMA, cfg.key_cols, cfg.n_buckets
+        )
+        replay_chunked(spark, cfg, chunk_segments=2)
+    fp_pq = _fingerprint(ParquetLakeTable.load(spark, pq_cfg.table_root))
+    fp_csv = _fingerprint(ParquetLakeTable.load(spark, csv_cfg.table_root))
+    assert fp_pq == fp_csv == _oracle_fp(spark, pq_cfg.source_log_path)
