@@ -194,6 +194,8 @@ def replay_streaming(
     glob = f"{cfg.source_log_path}/segment=*"
     if cfg.source_format == "json":
         reader = reader.json(glob)
+    elif cfg.source_format == "csv":
+        reader = reader.option("header", "false").csv(glob)
     else:
         reader = reader.parquet(glob)
 
