@@ -422,3 +422,19 @@ def test_change_feed_consumer_cursor(spark, tmpdir_path):
     c2 = ChangeFeedConsumer(t, off, "c2")
     ch3, _ = c2.poll()
     assert {r["repo"] for r in ch3.collect()} == {"r1"}  # r2 deleted
+
+
+def test_changes_between_plan_single_join(spark, tmpdir_path):
+    """The CDF diff must plan as one sort-merge join over the two
+    bucket-pruned scans — exactly two exchanges (one per side), never a
+    nested loop."""
+    from go_cdc_spark.plans.inspect import formatted_plan, shuffle_count
+
+    t = _table(spark, tmpdir_path, n_buckets=4)
+    t.apply_batch(_resolved(spark, [_row("i", i, (f"r{i}", "p", "c")) for i in range(10)]), "e1")
+    m1 = t.manifest()
+    t.apply_batch(_resolved(spark, [_row("u", 20, ("r1", "p", "c"), "y")]), "e2")
+    ch = t.changes_between(m1, t.manifest())
+    assert shuffle_count(ch) == 2, formatted_plan(ch)
+    plan = formatted_plan(ch)
+    assert "SortMergeJoin" in plan and "NestedLoop" not in plan
