@@ -59,10 +59,11 @@ def split_bad_records(df: DataFrame, op_col: str = "op") -> tuple[DataFrame, Dat
     source — no shuffle; when the source is a parquet scan the
     predicates push down, and null ops land in ``bad`` (never silently
     dropped: good ∪ bad == input, good ∩ bad == ∅)."""
-    is_valid = F.coalesce(
-        F.col(op_col).isin(*schemas.VALID_OPS), F.lit(False)
-    )
-    return df.filter(is_valid), df.filter(~is_valid)
+    is_valid = F.col(op_col).isin(*schemas.VALID_OPS)
+    # good side: raw isin (null evaluates null ⇒ row dropped, and the
+    # bare In() predicate pushes into a parquet scan); bad side needs
+    # the null-coalesce so null ops land there instead of vanishing
+    return df.filter(is_valid), df.filter(~F.coalesce(is_valid, F.lit(False)))
 
 
 def dedupe_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:

@@ -100,3 +100,12 @@ def test_filter_corpus_plan_no_shuffle(spark):
     out = filter_corpus(docs, min_tokens=40, max_tokens=80, langs=("en",))
     assert shuffle_count(out) == 0
     assert codegen_stage_count(out) >= 1
+
+
+def test_split_bad_records_good_side_pushdown(spark, tmpdir_path):
+    """The quarantine split's good-side predicate must reach the
+    parquet scan as a plain In() filter."""
+    from go_cdc_spark.operators.resolve import split_bad_records
+
+    good, _bad = split_bad_records(_log(spark, tmpdir_path))
+    assert "op" in pushed_filters(good), pushed_filters(good)
