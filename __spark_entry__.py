@@ -927,6 +927,32 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: explode-based fan-out (one row per
+    sampled frame) over a metadata fixture whose n_frames derivation is
+    ANSI-SQL-reproducible (media_id*37 % 300 + 1 — the production
+    synthetic_media uses xxhash64 meta, which DuckDB lacks). The
+    exploded `sequence` must match generate-series semantics exactly,
+    including the inclusive-endpoint-on-multiple case."""
+    from pyspark.sql import types as T
+
+    from go_cdc_spark.functions.multimodal import frame_sample_plan
+
+    media = spark.range(1000).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.struct(
+            ((F.col("id") * 37) % 300 + 1).cast("int").alias("n_frames")
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_n=30).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
 # ---------------- driver contract ----------------
 
 
@@ -983,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": q_sim_ann_ivf,
         "sim_semantic_dedup": q_sim_semantic_dedup,
         "mm_features": q_mm_features,
+        "mm_frame_plan": q_mm_frame_plan,
     }
 
 
@@ -1580,4 +1607,13 @@ def oracle_sql() -> dict[str, str]:
         "sim_near_dup_lsh": _lsh_near_dup_oracle_sql(threshold=0.45, n_bits=3, n_tables=16),
         "sim_ann_ivf": _ivf_ann_oracle_sql(n_probe=12),
         "sim_semantic_dedup": _semantic_dedup_oracle_sql(),
+        # explode fan-out vs generate-series; Spark sequence() is
+        # endpoint-inclusive when it lands on a step multiple, DuckDB
+        # range() is stop-exclusive — hence the +1
+        "mm_frame_plan": (
+            "WITH m AS (SELECT media_id, (media_id * 37) % 300 + 1 AS nf "
+            "FROM range(1000) t(media_id) WHERE media_id % 3 = 2) "
+            "SELECT media_id, CAST(unnest(range(0, greatest(nf - 1, 0) + 1, 30)) AS BIGINT) "
+            "AS frame_idx FROM m"
+        ),
     }
