@@ -855,7 +855,7 @@ def q_sim_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_cdc_spark.functions.similarity import near_dup_by_cosine_lsh
 
     return near_dup_by_cosine_lsh(
-        _emb(spark, sf_dir), threshold=0.45, n_bits=3, n_tables=16
+        _emb(spark, sf_dir), threshold=0.45, n_bits=4, n_tables=16
     )
 
 
@@ -1604,7 +1604,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "sim_ann_lsh": _lsh_ann_oracle_sql(n_bits=3, n_tables=16),
-        "sim_near_dup_lsh": _lsh_near_dup_oracle_sql(threshold=0.45, n_bits=3, n_tables=16),
+        "sim_near_dup_lsh": _lsh_near_dup_oracle_sql(threshold=0.45, n_bits=4, n_tables=16),
         "sim_ann_ivf": _ivf_ann_oracle_sql(n_probe=12),
         "sim_semantic_dedup": _semantic_dedup_oracle_sql(),
         # explode fan-out vs generate-series; Spark sequence() is

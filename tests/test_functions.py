@@ -497,7 +497,7 @@ def test_lsh_near_dup_recall_vs_exact(spark):
         for r in near_dup_by_cosine(emb, threshold=0.45).collect()
     }
     approx_rows = near_dup_by_cosine_lsh(
-        emb, threshold=0.45, n_bits=3, n_tables=16
+        emb, threshold=0.45, n_bits=4, n_tables=16
     ).collect()
     approx = {(r["doc_a"], r["doc_b"]) for r in approx_rows}
     assert exact, "fixture should contain near-dup pairs"
