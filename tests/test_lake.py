@@ -438,3 +438,23 @@ def test_changes_between_plan_single_join(spark, tmpdir_path):
     assert shuffle_count(ch) == 2, formatted_plan(ch)
     plan = formatted_plan(ch)
     assert "SortMergeJoin" in plan and "NestedLoop" not in plan
+
+
+def test_change_feed_consumer_fails_loudly_past_vacuum(spark, tmpdir_path):
+    """A consumer whose acked version was expired by vacuum() must get
+    a loud FileNotFoundError on poll (≙ Iceberg incremental read past
+    snapshot expiry), never a silent wrong diff."""
+    import pytest
+
+    from go_cdc_spark.sinks.consumer import ChangeFeedConsumer
+
+    t = _table(spark, f"{tmpdir_path}/table", n_buckets=4)
+    t.apply_batch(_resolved(spark, [_row("i", 1, ("r1", "p", "c"), "a")]), "e0")
+    c = ChangeFeedConsumer(t, f"{tmpdir_path}/off", "slow")
+    _ch, v = c.poll()
+    c.ack(v)
+    for i in range(1, 7):  # keep rewriting the same key's bucket
+        t.apply_batch(_resolved(spark, [_row("u", 10 + i, ("r1", "p", "c"), f"v{i}")]), f"e{i}")
+    t.vacuum(keep_manifests=2)  # expires the consumer's base manifest
+    with pytest.raises(FileNotFoundError):
+        c.poll()
