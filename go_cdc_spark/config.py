@@ -47,10 +47,12 @@ class PipelineConfig:
     # (≙ OplogCollection.Filters, collection.go:37-50):
     # list of (column, op, value) with op ∈ {=, !=, >, >=, <, <=}.
     filters: list[tuple[str, str, object]] = field(default_factory=list)
-    # Oplog segment format: "parquet" (default) or "json" (JSON-lines —
-    # the shape a Mongo change-stream export lands in). JSON needs an
-    # explicit schema: source_schema_json is a StructType.json() string;
-    # None ⇒ EVENT_SCHEMA widened by the table's evolved payload.
+    # Oplog segment format: "parquet" (default), "json" (JSON-lines —
+    # the shape a Mongo change-stream export lands in), or "csv"
+    # (headerless, columns in schema order). Anything else raises at
+    # stream/read construction. JSON/CSV need an explicit schema:
+    # source_schema_json is a StructType.json() string; None ⇒
+    # EVENT_SCHEMA widened by the table's evolved payload.
     source_format: str = "parquet"
     source_schema_json: str | None = None
 

@@ -787,8 +787,19 @@ def connected_components(
     """
     u, v = F.col("_u"), F.col("_v")
     e = pairs.select(
-        F.col(a_col).cast("long").alias("_u"), F.col(b_col).cast("long").alias("_v")
-    ).filter(u != v)
+        F.expr(f"try_cast({a_col} AS LONG)").alias("_u"),
+        F.expr(f"try_cast({b_col} AS LONG)").alias("_v"),
+    )
+    # a non-numeric (or null) id try_casts to null and its pairs would
+    # vanish from the graph — fail loudly instead (one cheap probe over
+    # the edge list, which is orders smaller than the corpus)
+    n_null = e.filter(u.isNull() | v.isNull()).limit(1).count()
+    if n_null:
+        raise ValueError(
+            f"connected_components: {a_col}/{b_col} contain ids that do not "
+            "cast to long (null after cast); their pairs would be dropped"
+        )
+    e = e.filter(u != v)
     # symmetric closure once up front; stars keep orientation explicit
     edges = e.unionByName(e.select(v.alias("_u"), u.alias("_v"))).distinct()
 
@@ -816,6 +827,7 @@ def connected_components(
         return hash((row["s"], row["n"]))
 
     prev = checksum(edges)
+    converged = False
     for _ in range(max_rounds):
         edges = star(star(edges, large=True), large=False)
         # cut the lineage each round: the plan would otherwise double
@@ -823,8 +835,17 @@ def connected_components(
         edges = edges.localCheckpoint(eager=True)
         cur = checksum(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # an unconverged star forest is a WRONG component mapping —
+        # downstream dedup would keep/drop the wrong docs silently
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds (checksum still moving); raise max_rounds — "
+            "large-star/small-star needs O(log n) rounds"
+        )
     # star forest: component(u) = min(u, min neighbor)
     return (
         edges.groupBy("_u")

@@ -116,8 +116,12 @@ def pack_sequences(
        O(n_partitions) rows and prefix-sums them into start offsets;
     2. per-partition window cumsum + broadcast-joined partition offset.
 
-    Like ``zipWithIndex``, assumes the input is deterministic under
-    recomputation (both passes must see the same range partitioning).
+    The range-partitioned intermediate is materialized (eager
+    ``localCheckpoint``) before the first pass: range-partition
+    boundary sampling is seeded per execution and AQE can re-coalesce
+    from runtime stats, so WITHOUT the checkpoint the two passes could
+    assign rows different ``_pid`` values and silently corrupt
+    seq_id/seq_pos. Both passes read the one materialized partitioning.
     """
     spark = df.sparkSession
     from pyspark.sql import Window
@@ -127,6 +131,7 @@ def pack_sequences(
         df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
         .repartitionByRange(n_parts, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     part_sums = {
         r["_pid"]: r["s"]

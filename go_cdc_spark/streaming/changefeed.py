@@ -51,6 +51,13 @@ def stream_change_feed(
     current backlog and stops)."""
     lake = ParquetLakeTable.load(spark, table_root)
 
+    def _marker(version_dir: str, name: str, body: str) -> None:
+        # underscore-prefixed: invisible to the parquet reader in
+        # read_change_feed, visible to anyone auditing the feed
+        os.makedirs(version_dir, exist_ok=True)
+        with open(os.path.join(version_dir, name), "w") as fh:
+            fh.write(body)
+
     def publish(batch_df, _batch_id):
         versions = sorted(
             r["version"] for r in batch_df.select("version").collect()
@@ -58,11 +65,42 @@ def stream_change_feed(
         for v in versions:
             if v < 1:
                 continue  # v0 is table creation (empty), nothing to diff
-            ch = lake.changes_between(lake.manifest_at(v - 1), lake.manifest_at(v))
+            vdir = os.path.join(out_path, f"version={v}")
+            # vacuum() may have expired either manifest while the
+            # stream lagged ("consumers must outrun vacuum retention",
+            # manifest_at). A hard raise here would wedge the stream
+            # permanently — it re-fails on the same offset range at
+            # every restart — so degrade per the contract instead:
+            try:
+                m_new = lake.manifest_at(v)
+            except FileNotFoundError:
+                # the version itself is gone: nothing reconstructable —
+                # log-and-skip with an explicit marker
+                _marker(vdir, "_SKIPPED_VACUUMED.txt",
+                        f"version {v} manifest expired by vacuum; diff lost\n")
+                continue
+            snapshot_fallback = False
+            try:
+                ch = lake.changes_between(lake.manifest_at(v - 1), m_new)
+            except FileNotFoundError:
+                # base expired: publish the full v-snapshot as inserts
+                # (same schema as the diff) + an explicit marker, so a
+                # consumer can rebuild state from here
+                snapshot_fallback = True
+                keys = m_new["key_cols"]
+                schema_fields = lake.read(manifest=m_new).columns
+                payload = [c for c in schema_fields if c not in set(keys)]
+                ch = lake.read(manifest=m_new).select(
+                    *keys, F.lit("insert").alias("change_type"), *payload
+                )
             (
                 ch.write.mode("overwrite")  # idempotent per-version dir
-                .parquet(os.path.join(out_path, f"version={v}"))
+                .parquet(vdir)
             )
+            if snapshot_fallback:  # after the write — overwrite wipes the dir
+                _marker(vdir, "_FULL_SNAPSHOT.txt",
+                        f"base manifest v{v - 1} expired by vacuum; "
+                        f"published full snapshot of v{v} as inserts\n")
 
     # glob pins the source to committed manifests only — the dir also
     # holds epoch-rollup .txt files and in-flight .tmp renames

@@ -27,6 +27,24 @@ from go_cdc_spark import schemas
 from go_cdc_spark.config import PipelineConfig
 
 
+def _read_source(reader, cfg: PipelineConfig) -> DataFrame:
+    """Bind a schema'd readStream to the oplog segment glob with the
+    SAME explicit format branches as replay_streaming — an unknown
+    ``source_format`` raises here instead of silently reading the
+    segments as parquet."""
+    glob = f"{cfg.source_log_path}/segment=*"
+    if cfg.source_format == "json":
+        return reader.json(glob)
+    if cfg.source_format == "csv":
+        return reader.option("header", "false").csv(glob)
+    if cfg.source_format == "parquet":
+        return reader.parquet(glob)
+    raise ValueError(
+        f"unknown source_format {cfg.source_format!r}; "
+        "expected 'parquet', 'json', or 'csv'"
+    )
+
+
 def _with_event_time(df: DataFrame, ts_col: str = "ts_t") -> DataFrame:
     # ts_t is unix seconds (Mongo primitive.Timestamp.T, schemas.py);
     # session tz is pinned to UTC so the window bounds are deterministic
@@ -89,8 +107,7 @@ def stream_windowed_rates(
     reader = spark.readStream.schema(stream_schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
-    glob = f"{cfg.source_log_path}/segment=*"
-    src = reader.json(glob) if cfg.source_format == "json" else reader.parquet(glob)
+    src = _read_source(reader, cfg)
     agg = (
         _with_event_time(src)
         .withWatermark("_etime", watermark)
@@ -144,8 +161,7 @@ def stream_dedup_events(
     reader = spark.readStream.schema(stream_schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
-    glob = f"{cfg.source_log_path}/segment=*"
-    src = reader.json(glob) if cfg.source_format == "json" else reader.parquet(glob)
+    src = _read_source(reader, cfg)
     deduped = (
         _with_event_time(src)
         .withWatermark("_etime", watermark)

@@ -196,8 +196,13 @@ def replay_streaming(
         reader = reader.json(glob)
     elif cfg.source_format == "csv":
         reader = reader.option("header", "false").csv(glob)
-    else:
+    elif cfg.source_format == "parquet":
         reader = reader.parquet(glob)
+    else:
+        raise ValueError(
+            f"unknown source_format {cfg.source_format!r}; "
+            "expected 'parquet', 'json', or 'csv'"
+        )
 
     def body(batch_df: DataFrame, epoch_id: int):
         apply_epoch(

@@ -482,6 +482,26 @@ def test_connected_components_vs_union_find(spark):
     assert all(c <= n for n, c in got.items())
 
 
+def test_connected_components_fails_loudly(spark):
+    """Non-castable ids and round exhaustion must RAISE, not silently
+    return a wrong mapping (dedup would keep/drop the wrong docs)."""
+    import pytest
+
+    from go_cdc_spark.functions.dedup import connected_components
+
+    bad = spark.createDataFrame(
+        [("x1", "y2"), ("3", "4")], "doc_a string, doc_b string"
+    )
+    with pytest.raises(ValueError, match="cast to long"):
+        connected_components(bad).collect()
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_rounds=1).collect()
+
+
 def test_lsh_near_dup_recall_vs_exact(spark):
     """The LSH-bucketed near-dup path must recover ≥0.9 of the exact
     operator's pairs at the entry operating point, with NO false

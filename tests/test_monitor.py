@@ -186,3 +186,65 @@ def test_stream_change_feed_publishes_versions(spark, tmpdir_path):
     fed2 = {(r["version"], r["repo"]): r["change_type"]
             for r in read_change_feed(spark, out).collect()}
     assert fed2 == {**by_v, (3, "r2"): "delete"}
+
+
+def test_stream_change_feed_survives_vacuum(spark, tmpdir_path):
+    """A feed that lagged past vacuum retention must NOT wedge: fully
+    expired versions are skipped with an explicit marker, a version
+    whose BASE manifest expired publishes the full snapshot as inserts
+    (marked), and versions with both manifests publish normal diffs."""
+    from go_cdc_spark import schemas as S
+    from go_cdc_spark.operators.resolve import lww_resolve
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+    from go_cdc_spark.streaming.changefeed import (
+        read_change_feed,
+        stream_change_feed,
+    )
+
+    def _row(op, seq, key, content="x"):
+        r, p, c = key
+        lang, cont = (None, None) if op == "d" else ("py", content)
+        return (op, 1_700_000_000, seq, seq, r, p, c, lang, cont)
+
+    def _batch(rows):
+        df = spark.createDataFrame(rows, schema=S.EVENT_SCHEMA)
+        return lww_resolve(df, S.KEY_COLS, S.ORDER_COLS, S.PAYLOAD_COLS)
+
+    root = f"{tmpdir_path}/table"
+    t = ParquetLakeTable.create(spark, root, S.TABLE_SCHEMA, S.KEY_COLS, 4)
+    t.apply_batch(_batch([_row("i", 1, ("r1", "p", "c"), "a")]), "e1")  # v1
+    t.apply_batch(_batch([_row("i", 2, ("r2", "p", "c"), "b")]), "e2")  # v2
+    t.apply_batch(_batch([_row("u", 3, ("r1", "p", "c"), "a2")]), "e3")  # v3
+    t.apply_batch(_batch([_row("u", 4, ("r2", "p", "c"), "b2")]), "e4")  # v4
+    t.vacuum(keep_manifests=2)  # only v3 and v4 manifests survive
+    cp, out = f"{tmpdir_path}/cp", f"{tmpdir_path}/out"
+    stream_change_feed(spark, root, cp, out).awaitTermination(120)
+
+    # v1, v2 manifests were deleted before discovery: the file source
+    # never sees them (nothing reconstructable, nothing published)
+    for v in (1, 2):
+        assert not os.path.exists(f"{out}/version={v}")
+    # v3: base (v2) expired -> full snapshot of v3 as inserts, marked
+    assert os.path.exists(f"{out}/version=3/_FULL_SNAPSHOT.txt")
+    fed = {(r["version"], r["repo"]): (r["change_type"], r["content"])
+           for r in read_change_feed(spark, out).collect()}
+    assert fed == {
+        (3, "r1"): ("insert", "a2"), (3, "r2"): ("insert", "b"),
+        (4, "r2"): ("update", "b2"),  # v4: normal diff v3 -> v4
+    }
+
+
+def test_stream_readers_reject_unknown_format(spark, tmpdir_path):
+    """cfg.source_format typos must raise, not silently read the
+    segments as parquet."""
+    import pytest
+
+    cfg = PipelineConfig(
+        pipeline_id="fmt",
+        source_log_path=f"{tmpdir_path}/log",
+        table_root=f"{tmpdir_path}/table",
+        bookmark_root=f"{tmpdir_path}/bm",
+        source_format="jsonl",
+    )
+    with pytest.raises(ValueError, match="unknown source_format"):
+        stream_windowed_rates(spark, cfg, "fmt_rates")
