@@ -848,15 +848,25 @@ def q_sim_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_by_cosine(_emb(spark, sf_dir), threshold=0.45)
 
 
+# The entry LSH near-dup operating POINT is auto-resolved from corpus
+# size (the round-3 defect was pinning n_bits=4, which degenerates to
+# near-all-pairs as N grows): bits target ~1 row/bucket, tables target
+# 0.92 recall for pairs AT the 0.45 threshold. Measured on the fixtures:
+# sf0.01 (N=500 → bits=9, T=124) candidates 24.7% of all pairs, recall
+# 1.0; sf0.1 (N=2000 → bits=11, T=295) candidates 17.0%, recall 0.958 —
+# candidate volume stays LINEAR in N while the exact operator's is N².
+_LSH_ND_POLICY = dict(threshold=0.45, target_bucket_rows=1, target_recall=0.92)
+
+
 def q_sim_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic near-dup pairs: LSH-bucket candidates, exact
     cosine verify. Exact-oracle checked via the inlined-planes SQL twin
-    (same technique as sim_ann_lsh)."""
+    (same technique as sim_ann_lsh); the oracle resolves the SAME
+    (n_bits, n_tables) from the corpus row count via lsh_auto_bits /
+    lsh_auto_tables, so operator and twin replay identical planes."""
     from go_cdc_spark.functions.similarity import near_dup_by_cosine_lsh
 
-    return near_dup_by_cosine_lsh(
-        _emb(spark, sf_dir), threshold=0.45, n_bits=4, n_tables=16
-    )
+    return near_dup_by_cosine_lsh(_emb(spark, sf_dir), **_LSH_ND_POLICY)
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1123,6 +1133,21 @@ def _lsh_ann_oracle_sql(n_bits=4, dim=64, seed=42, n_tables=8, k=10, max_query_i
     )
 
 
+def _oracle_embeddings_rows() -> int:
+    """Row count of the embeddings table AT THE SCALE THE DRIVER RUNS
+    THE ORACLE (sf0.01 unless overridden via SPARK_GRAFT_ORACLE_SF_DIR)
+    — parquet footer metadata only, no scan. Needed because the LSH
+    near-dup operating point is resolved FROM corpus size (the whole
+    round-3 fix), so the SQL twin must resolve bits/tables from the
+    same N the operator will see."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+
+
 def _lsh_near_dup_oracle_sql(threshold=0.45, n_bits=3, dim=64, seed=42, n_tables=16) -> str:
     """DuckDB twin of q_sim_near_dup_lsh: same inlined RandomState
     planes, per-table bucket collision candidates (doc_a < doc_b),
@@ -1152,6 +1177,23 @@ def _lsh_near_dup_oracle_sql(threshold=0.45, n_bits=3, dim=64, seed=42, n_tables
         "sqrt(list_dot_product(be.v, be.v))) AS cos "
         "FROM cand JOIN e ae ON ae.vec_id = doc_a JOIN e be ON be.vec_id = doc_b) "
         f"SELECT doc_a, doc_b, round(cos, 6) AS cos_sim FROM scored WHERE cos >= {threshold}"
+    )
+
+
+def _lsh_near_dup_oracle_sql_auto() -> str:
+    """Resolve the auto-scaled (n_bits, n_tables) EXACTLY as
+    near_dup_by_cosine_lsh will at run time — same lsh_auto_bits /
+    lsh_auto_tables calls on the oracle-scale corpus row count (parquet
+    footer, no scan) — then emit the inlined-planes twin."""
+    from go_cdc_spark.functions.similarity import lsh_auto_bits, lsh_auto_tables
+
+    n = _oracle_embeddings_rows()
+    bits = lsh_auto_bits(n, _LSH_ND_POLICY["target_bucket_rows"])
+    tables = lsh_auto_tables(
+        _LSH_ND_POLICY["threshold"], bits, _LSH_ND_POLICY["target_recall"]
+    )
+    return _lsh_near_dup_oracle_sql(
+        threshold=_LSH_ND_POLICY["threshold"], n_bits=bits, n_tables=tables
     )
 
 
@@ -1604,7 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "sim_ann_lsh": _lsh_ann_oracle_sql(n_bits=3, n_tables=16),
-        "sim_near_dup_lsh": _lsh_near_dup_oracle_sql(threshold=0.45, n_bits=4, n_tables=16),
+        "sim_near_dup_lsh": _lsh_near_dup_oracle_sql_auto(),
         "sim_ann_ivf": _ivf_ann_oracle_sql(n_probe=12),
         "sim_semantic_dedup": _semantic_dedup_oracle_sql(),
         # explode fan-out vs generate-series; Spark sequence() is

@@ -504,11 +504,17 @@ def test_connected_components_fails_loudly(spark):
 
 def test_lsh_near_dup_recall_vs_exact(spark):
     """The LSH-bucketed near-dup path must recover ≥0.9 of the exact
-    operator's pairs at the entry operating point, with NO false
-    positives (candidates are verified with exact cosine)."""
+    operator's pairs at the ENTRY operating point (auto-scaled bits &
+    tables — the round-3 fixed-bits defect), with NO false positives
+    (candidates are verified with exact cosine), AND the candidate set
+    must stay well short of all-pairs — an LSH whose candidates
+    saturate the pair space is exhaustive search with extra steps."""
     from go_cdc_spark.functions.similarity import (
+        lsh_auto_bits,
+        lsh_auto_tables,
         near_dup_by_cosine,
         near_dup_by_cosine_lsh,
+        _bucket_array_signatures,
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
@@ -517,13 +523,31 @@ def test_lsh_near_dup_recall_vs_exact(spark):
         for r in near_dup_by_cosine(emb, threshold=0.45).collect()
     }
     approx_rows = near_dup_by_cosine_lsh(
-        emb, threshold=0.45, n_bits=4, n_tables=16
+        emb, threshold=0.45, target_bucket_rows=1, target_recall=0.92
     ).collect()
     approx = {(r["doc_a"], r["doc_b"]) for r in approx_rows}
     assert exact, "fixture should contain near-dup pairs"
     assert approx <= exact  # verified candidates: zero false positives
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
+
+    # candidate-volume gate: distinct colliding pairs < 25% of N(N-1)/2
+    n = emb.count()
+    bits = lsh_auto_bits(n, 1)
+    tables = lsh_auto_tables(0.45, bits, 0.92)
+    sig = _bucket_array_signatures(emb, bits, 64, "vec_id", "embedding", 42, tables)
+    sig = sig.select("vec_id", F.posexplode("buckets").alias("table", "bucket"))
+    n_cand = (
+        sig.select(F.col("vec_id").alias("doc_a"), "table", "bucket")
+        .join(sig.select(F.col("vec_id").alias("doc_b"), "table", "bucket"),
+              ["table", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    frac = n_cand / (n * (n - 1) / 2)
+    assert frac < 0.25, f"candidate fraction {frac:.3f} — LSH degenerated"
 
 
 def test_pack_sequences_partition_invariant(spark):
