@@ -83,46 +83,63 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def extract_features(df: DataFrame, codec: str = "fake") -> DataFrame:
-    """Decode + feature-extract via mapInPandas (Arrow-batched).
+    """Decode + feature-extract.
 
-    codec="real" is a stub (no media libs in this container);
-    codec="fake" emits a deterministic 16-dim feature vector derived
-    from the payload hash — correct shapes, dtypes, and batch flow.
+    codec="real" is the mapInPandas (Arrow-batched) decode skeleton a
+    real PIL/torchaudio/ffmpeg codec would plug into — it raises
+    NotImplementedError AT EXECUTION (no media libs in this container)
+    so the batch flow, schema, and UDF signature stay exercised by
+    tests. codec="fake" emits a deterministic 16-dim feature vector
+    derived from the payload hash as PURE Column expressions — fully
+    codegen'd JVM, no Python workers, no fresh-Arrow allocation (the
+    round-3 bench recorded this path at ~100× its clean cost purely
+    from host page-fault-path collapse hitting Arrow buffer allocation;
+    a hash chain never needed Python in the first place).
     """
     if codec not in ("real", "fake"):
         raise ValueError(f"unknown codec {codec!r}")
 
-    def compute(it):
-        for pdf in it:
-            if codec == "real":
+    if codec == "real":
+
+        def compute(it):
+            for pdf in it:  # noqa: B007 — skeleton for a real decoder
                 raise NotImplementedError(
                     "real media decoding needs PIL/torchaudio/ffmpeg — "
                     "not available in this container; use codec='fake'"
                 )
-            shas, feats = [], []
-            for payload in pdf["payload"]:
-                # Hash the lowercase-hex rendering of the payload (not raw
-                # bytes): the chain stays inside valid UTF-8 so an ANSI-SQL
-                # oracle (sha256(lower(hex(payload)))) reproduces it exactly.
-                digest = hashlib.sha256(bytes(payload or b"").hex().encode()).digest()
-                shas.append(digest.hex())
-                vec = (
-                    np.frombuffer(digest[:_FEATURE_DIM * 2], dtype=np.uint16)
-                    .astype(np.float32)
-                    / 65535.0
-                )
-                feats.append(vec)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].to_numpy(),
-                    "kind": pdf["kind"],
-                    "payload_sha": shas,
-                    "features": [list(map(float, v)) for v in feats],
-                }
-            )
+                yield pdf  # pragma: no cover — keeps this a generator
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
-        compute, schema=FEATURES_SCHEMA
+        return df.select("media_id", "kind", "payload").mapInPandas(
+            compute, schema=FEATURES_SCHEMA
+        )
+
+    # fake codec, JVM-side. Hash the lowercase-hex rendering of the
+    # payload (not raw bytes): the chain stays inside valid UTF-8 so an
+    # ANSI-SQL oracle (sha256(lower(hex(payload)))) reproduces it
+    # exactly. Feature i is the i-th LITTLE-ENDIAN uint16 of the digest
+    # scaled to [0,1] — byte pair (2i, 2i+1) = hex chars (4i..4i+2,
+    # 4i+2..4i+4), low byte first. Double-divide-then-cast-to-float is
+    # bit-identical to numpy float32(v)/float32(65535) for all 65536
+    # lattice values (verified exhaustively), and round(f*65535)
+    # recovers v exactly — features_fingerprint stays sha256(digest).
+    sha = F.sha2(F.lower(F.hex(F.coalesce(F.col("payload"), F.lit(b"")))), 256)
+    dig = F.col("payload_sha")
+    feats = F.array(
+        *[
+            (
+                (
+                    F.conv(F.substring(dig, 4 * i + 1, 2), 16, 10).cast("double")
+                    + F.conv(F.substring(dig, 4 * i + 3, 2), 16, 10).cast("double")
+                    * 256.0
+                )
+                / 65535.0
+            ).cast("float")
+            for i in range(_FEATURE_DIM)
+        ]
+    )
+    return (
+        df.select("media_id", "kind", sha.alias("payload_sha"))
+        .withColumn("features", feats)
     )
 
 

@@ -233,6 +233,15 @@ def test_multimodal_plumbing(spark):
     feats = extract_features(media, codec="fake").collect()
     assert len(feats) == 50
     assert all(len(r["features"]) == 16 for r in feats)
+    # bit-exact parity with the reference chain the JVM columns replaced:
+    # sha256(payload.hex()) digest, features = little-endian uint16s/65535
+    import hashlib
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in feats[:10]:
+        digest = hashlib.sha256(payloads[r["media_id"]].hex().encode()).digest()
+        assert r["payload_sha"] == digest.hex()
+        ref = np.frombuffer(digest, dtype="<u2").astype(np.float32) / np.float32(65535)
+        assert np.array_equal(np.asarray(r["features"], dtype=np.float32), ref)
     # determinism
     feats2 = extract_features(synthetic_media(spark, 50), codec="fake").collect()
     assert {r["media_id"]: r["payload_sha"] for r in feats} == {
