@@ -124,6 +124,41 @@ def bench_replay(spark, n_events: int, mode: str = "cow") -> tuple[float, dict]:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _prod_mode_queries() -> dict:
+    """SHIPPING-mode twins of the dual-mode operators whose driver
+    entries run in oracle mode (hex-digest / init-only hashing bought
+    the exact DuckDB twin but is NOT the production path — parity
+    between modes is pinned by tests/test_functions.py). Benched so the
+    recorded numbers reflect what a user actually runs; these are extra
+    timings only, not CORRECTNESS rows."""
+    from pyspark.sql import functions as F
+
+    def simhash_prod(spark, sf_dir):
+        from go_cdc_spark.functions.dedup import simhash_near_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return simhash_near_pairs(docs, max_hamming=3)  # xxhash64 mode
+
+    def ivf_prod(spark, sf_dir):
+        from go_cdc_spark.functions.similarity import ivf_ann_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5)
+        return ivf_ann_topk(emb, q, k=10, n_centroids=16, n_probe=12)
+
+    def semantic_dedup_prod(spark, sf_dir):
+        from go_cdc_spark.functions.similarity import semantic_dedup
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return semantic_dedup(emb, threshold=0.4, n_centroids=16)
+
+    return {
+        "dedup_simhash_prod": simhash_prod,
+        "sim_ann_ivf_prod": ivf_prod,
+        "sim_semantic_dedup_prod": semantic_dedup_prod,
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entry
 
@@ -135,6 +170,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
+        timings[name] = round(time_query(fn(spark, SF_DIR)), 3)
+    for name, fn in _prod_mode_queries().items():
         timings[name] = round(time_query(fn(spark, SF_DIR)), 3)
 
     replay_sec, replay_info = bench_replay(spark, REPLAY_EVENTS, mode="cow")
