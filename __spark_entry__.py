@@ -186,11 +186,12 @@ def q_cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join without the nested-loop plan: clicks matched to
     every purchase window [ts, ts+1h] of the same user, via the
-    bucketed equi-join formulation (explode intervals into 10-min
-    buckets, hash-join on (user, bucket), residual BETWEEN). The plan
-    is asserted BroadcastNestedLoopJoin-free in tests/test_asof.py;
-    the oracle is the plain inequality join DuckDB can afford at
-    sf0.01."""
+    bucketed equi-join formulation (explode intervals into buckets,
+    hash-join on (user, bucket), residual BETWEEN). bucket_width is
+    left to the operator's auto default — median interval length, here
+    3600 s, so each interval covers ≤2 buckets. The plan is asserted
+    BroadcastNestedLoopJoin-free in tests/test_asof.py; the oracle is
+    the plain inequality join DuckDB can afford at sf0.01."""
     from go_cdc_spark.operators.asof import range_join
 
     ev = _events(spark, sf_dir)
@@ -207,7 +208,7 @@ def q_cdc_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = range_join(
         clicks, purchases, key_cols=["user_id"], ts_col="t",
-        start_col="s", end_col="e", bucket_width=600,
+        start_col="s", end_col="e",
     )
     return out.select("click_id", "purchase_id", "user_id")
 

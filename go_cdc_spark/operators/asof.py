@@ -90,7 +90,7 @@ def range_join(
     ts_col: str,
     start_col: str,
     end_col: str,
-    bucket_width: int,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Interval (range) join: inner-join every left row to every right
     interval with ``start <= ts <= end`` in the same key group.
@@ -106,8 +106,24 @@ def range_join(
     O(|L| + Σ interval_len/width) shuffled rows through one hash join;
     pick ``bucket_width`` near the typical interval length so intervals
     explode into O(1) buckets.
+
+    ``bucket_width=None`` (default) derives it as the MEDIAN interval
+    length (one cheap approx-percentile agg over the right side) — a
+    caller-supplied width far below typical interval length would
+    explode each interval into thousands of bucket rows; the median
+    pins per-interval fan-out at ~2 buckets for the typical interval
+    regardless of the unit (seconds vs millis vs plain longs) the
+    caller's timestamps use.
     """
     key_cols = list(key_cols)
+    if bucket_width is None:
+        med = right.select(
+            F.percentile_approx(
+                F.col(end_col).cast("long") - F.col(start_col).cast("long"),
+                0.5,
+            )
+        ).first()[0]
+        bucket_width = max(int(med or 0), 1)
     clash = (set(left.columns) & set(right.columns)) - set(key_cols)
     if clash:
         raise ValueError(

@@ -80,3 +80,10 @@ def test_range_join_matches_naive_and_avoids_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in kl_plan and "CartesianProduct" not in kl_plan
     nv_plan = formatted_plan(naive_kl)
     assert "BroadcastNestedLoopJoin" in nv_plan or "CartesianProduct" in nv_plan
+    # auto bucket_width (median interval length) — same rows, same
+    # nested-loop-free plan, no caller-tuned width needed
+    auto = range_join(left, right, ["k"], "t", "s", "e")
+    assert {(r["lid"], r["rid"]) for r in auto.collect()} == want
+    auto_plan = formatted_plan(auto)
+    assert "BroadcastNestedLoopJoin" not in auto_plan
+    assert "CartesianProduct" not in auto_plan
