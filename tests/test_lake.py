@@ -424,6 +424,76 @@ def test_change_feed_consumer_cursor(spark, tmpdir_path):
     assert {r["repo"] for r in ch3.collect()} == {"r1"}  # r2 deleted
 
 
+def test_concurrent_consumers_never_skip_over_long_replay(spark, tmpdir_path):
+    """Two consumers at DIFFERENT cursors over a long replay with
+    vacuum pressure: A polls+acks every epoch, B only every third, and
+    vacuum runs mid-replay with retention covering both cursors. Each
+    consumer reconstructs state purely from its own polled diffs —
+    at every ack point the reconstruction must equal the live table at
+    that version (never-skip, never-duplicate-net-effect), and both
+    must agree with the final live state."""
+    import random
+
+    from go_cdc_spark.sinks.consumer import ChangeFeedConsumer
+
+    t = _table(spark, f"{tmpdir_path}/table", n_buckets=4)
+    off = f"{tmpdir_path}/offsets"
+    ca = ChangeFeedConsumer(t, off, "fast")
+    cb = ChangeFeedConsumer(t, off, "lagging")
+
+    def state_at(version):
+        return {
+            (r["repo"], r["path"], r["commit"]): (r["lang"], r["content"])
+            for r in t.read(manifest=t.manifest_at(version)).collect()
+        }
+
+    def apply_changes(s, ch_rows):
+        for r in ch_rows:
+            k = (r["repo"], r["path"], r["commit"])
+            if r["change_type"] == "delete":
+                s.pop(k)
+            else:
+                s[k] = (r["lang"], r["content"])
+        return s
+
+    sa: dict = {}
+    sb: dict = {}
+    rng = random.Random(7)
+    keys = [(f"r{i % 6}", "p", f"c{i % 3}") for i in range(18)]
+    live: set = set()
+    seq = 0
+    for epoch in range(1, 11):  # 10 epochs of mixed i/u/d churn
+        rows = []
+        for _ in range(6):
+            seq += 1
+            k = rng.choice(keys)
+            if k in live and rng.random() < 0.3:
+                rows.append(_row("d", seq, k))
+                live.discard(k)
+            else:
+                op = "u" if k in live else "i"
+                rows.append(_row(op, seq, k, f"v{seq}"))
+                live.add(k)
+        t.apply_batch(_resolved(spark, rows), f"e{epoch}")
+        ch, v = ca.poll()
+        sa = apply_changes(sa, ch.collect())
+        ca.ack(v)
+        assert sa == state_at(v), f"fast consumer diverged at epoch {epoch}"
+        if epoch % 3 == 0:
+            ch, v = cb.poll()
+            sb = apply_changes(sb, ch.collect())
+            cb.ack(v)
+            assert sb == state_at(v), f"lagging consumer diverged at epoch {epoch}"
+        if epoch == 6:
+            # vacuum mid-replay; retention covers B's cursor (lag <= 3)
+            t.vacuum(keep_manifests=5)
+    ch, v = cb.poll()  # B catches up to the final version
+    sb = apply_changes(sb, ch.collect())
+    cb.ack(v)
+    final = state_at(t.latest_version())
+    assert sa == sb == final and len(final) > 0
+
+
 def test_changes_between_plan_single_join(spark, tmpdir_path):
     """The CDF diff must plan as one sort-merge join over the two
     bucket-pruned scans — exactly two exchanges (one per side), never a
