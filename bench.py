@@ -119,6 +119,19 @@ def bench_replay(spark, n_events: int, mode: str = "cow") -> tuple[float, dict]:
         results = replay_chunked(spark, cfg, chunk_segments=2)
         dt = time.time() - t0
         events = sum(r.events for r in results)
+        # the timed window INCLUDES mid-replay additive schema evolution
+        # (segments >= 4 of 8 carry content_sha, so epoch 3 of 4 ALTERs
+        # the live table under load — the north rule's "schema
+        # evolution" clause at bench scale, not just at sf0.01 tests);
+        # assert the evolved column actually reached the table so a
+        # regression in the hot-loop union_schema path fails the bench
+        # loudly instead of silently benching a narrower workload.
+        final_cols = set(
+            ParquetLakeTable(spark, cfg.table_root).read().columns
+        )
+        assert "content_sha" in final_cols, (
+            f"mid-replay schema evolution missing from benched table: {final_cols}"
+        )
         return dt, {"replay_events": events, "replay_epochs": len(results)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
