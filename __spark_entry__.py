@@ -672,6 +672,83 @@ def q_cdc_snapshot_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBLog-style incremental snapshot (arXiv:2010.12597,
+    sources/incremental_snapshot.py): the live source is copied in 4
+    hash-range key chunks INTERLEAVED with tailing the post-split log —
+    each chunk select bracketed by low/high watermarks, in-window keys
+    dropped (the log is their truth), survivors merged stamped at the
+    LOW watermark so later log events win by LWW. Replaces the
+    reference's stop-the-world Dumper (dumper.go:57-163) with the
+    bounded-lag variant a 10^10-row source requires. Oracle: single-shot
+    LWW replay of the full history — the chunk/tail decomposition must
+    be invisible."""
+    from go_cdc_spark import schemas
+    from go_cdc_spark.bookmark import BookmarkStore
+    from go_cdc_spark.config import PipelineConfig
+    from go_cdc_spark.operators.resolve import lww_resolve
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+    from go_cdc_spark.sources.incremental_snapshot import (
+        incremental_snapshot_with_tail,
+    )
+
+    ev = _events(spark, sf_dir)
+    split = F.lit(_SPLIT).cast("timestamp_ntz")
+    log = _derived_log(ev)
+    prefix = log.filter(ev.ts < split)
+    suffix = log.filter(ev.ts >= split)
+    rng = suffix.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    suffix_seg = suffix.withColumn(
+        "segment",
+        ((F.col("seq") - rng["lo"]) * 4 / (rng["hi"] - rng["lo"] + 1)).cast("long"),
+    )
+    d = tempfile.mkdtemp(prefix="go_cdc_incsnap_")
+    log_dir = os.path.join(d, "log")
+    suffix_seg.repartition("segment").write.partitionBy("segment").mode(
+        "overwrite"
+    ).parquet(log_dir)
+    cfg = PipelineConfig(
+        pipeline_id="entry-incsnap",
+        source_log_path=log_dir,
+        table_root=os.path.join(d, "table"),
+        bookmark_root=os.path.join(d, "bm"),
+        key_cols=["user_id"],
+        order_cols=list(schemas.ORDER_COLS),
+        n_buckets=8,
+    )
+    ParquetLakeTable.create(
+        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
+    )
+    bm = BookmarkStore(cfg.bookmark_root, cfg.pipeline_id)
+
+    def select_live():
+        # ≙ SELECT on the live source: prefix history + every tail
+        # event the pipeline has applied so far (source and replica
+        # advance in lockstep); no order stamps leave the source.
+        hwm = bm.latest_token()
+        tok_ok = F.struct("ts_t", "ts_i", "seq") <= F.struct(
+            F.lit(hwm[0]).cast("long"),
+            F.lit(hwm[1]).cast("long"),
+            F.lit(hwm[2]).cast("long"),
+        )
+        seen = prefix.unionByName(suffix.filter(tok_ok))
+        live = lww_resolve(
+            seen, ["user_id"], list(schemas.ORDER_COLS),
+            ["event_type", "value"], validate=False,
+        )
+        return live.filter(F.col("op") != "d").select(
+            "user_id", "event_type", "value"
+        )
+
+    incremental_snapshot_with_tail(spark, cfg, select_live, n_chunks=4)
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    return lake.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 # ---------------- training-data pipeline queries ----------------
 
 
@@ -994,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_salted": q_cdc_lww_salted,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
+        "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
         "cdc_window_rates": q_cdc_window_rates,
         "cdc_sessionize": q_cdc_sessionize,
         "cdc_lineage": q_cdc_lineage,
@@ -1426,6 +1504,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM s GROUP BY user_id, sid"
         ),
         "cdc_snapshot_then_tail": (
+            f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
+            f"{_OP_SQL} AS op FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
+            "SELECT user_id, event_type AS last_event_type, value AS last_value "
+            "FROM r WHERE rn = 1 AND op <> 'd'"
+        ),
+        # chunked-snapshot + tail must converge to the same single-shot
+        # LWW state — the DBLog watermark contract
+        "cdc_incremental_snapshot": (
             f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
             f"{_OP_SQL} AS op FROM events), "
             "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "

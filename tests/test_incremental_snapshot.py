@@ -1,0 +1,195 @@
+"""DBLog-style incremental snapshot: chunked source copy interleaved
+with tailing (sources/incremental_snapshot.py). Contract: the
+dump/tail decomposition is invisible — final state equals the
+single-shot LWW replay of the FULL history (prefix the source already
+absorbed + the retained tail log), same as the reference's
+Dump→Tail overlap rule (dumper.go:85,106-109) but chunk-at-a-time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from go_cdc_spark import schemas
+from go_cdc_spark.bookmark import BookmarkStore
+from go_cdc_spark.config import PipelineConfig
+from go_cdc_spark.genlog import LogSpec, events_df, write_segments
+from go_cdc_spark.operators.resolve import lww_resolve
+from go_cdc_spark.oracle import replay_oracle, table_fingerprint
+from go_cdc_spark.sinks.lake import ParquetLakeTable
+from go_cdc_spark.sources.incremental_snapshot import (
+    incremental_snapshot_with_tail,
+    plan_key_chunks,
+)
+
+PAYLOAD = ["lang", "content"]
+
+
+def _setup(spark, tmpdir_path, n_events=6_000, segment_events=1_000, seed=11):
+    """Full history written once; the tail log dir sees only the suffix
+    segments (prefix history is 'before retention' — only the live
+    source state still carries it)."""
+    full_dir = os.path.join(tmpdir_path, "full_log")
+    spec = LogSpec(
+        n_events=n_events, segment_events=segment_events, dup_every=97, seed=seed
+    )
+    write_segments(spark, spec, full_dir)
+    n_segments = n_events // segment_events
+    tail_dir = os.path.join(tmpdir_path, "log")
+    os.makedirs(tail_dir)
+    for k in range(n_segments // 3, n_segments):  # suffix = last 2/3
+        os.symlink(
+            os.path.join(full_dir, f"segment={k}"),
+            os.path.join(tail_dir, f"segment={k}"),
+        )
+    cfg = PipelineConfig(
+        pipeline_id="incsnap",
+        source_log_path=tail_dir,
+        table_root=os.path.join(tmpdir_path, "table"),
+        bookmark_root=os.path.join(tmpdir_path, "bm"),
+        n_buckets=8,
+    )
+    ParquetLakeTable.create(
+        spark, cfg.table_root, schemas.TABLE_SCHEMA, cfg.key_cols, cfg.n_buckets
+    )
+    return cfg, full_dir
+
+
+def _live_source(spark, cfg, full_dir):
+    """≙ SELECT against the live source DB: LWW-live state over every
+    event the source has absorbed so far = full prefix + tail events up
+    to the pipeline's applied watermark (source and replica advance in
+    lockstep; the select never returns versions/stamps)."""
+    bm = BookmarkStore(cfg.bookmark_root, cfg.pipeline_id)
+    tail_segs = sorted(
+        int(d.split("=")[1]) for d in os.listdir(cfg.source_log_path)
+    )
+    first_tail = min(tail_segs)
+
+    def select():
+        hwm = bm.latest_token()
+        ev = spark.read.option("mergeSchema", "true").parquet(full_dir)
+        tok = F.struct("ts_t", "ts_i", "seq")
+        upper = tok <= F.struct(
+            F.lit(hwm[0]).cast("long"),
+            F.lit(hwm[1]).cast("long"),
+            F.lit(hwm[2]).cast("long"),
+        )
+        seen = ev.filter((F.col("segment") < first_tail) | upper).drop("segment")
+        live = lww_resolve(
+            seen, cfg.key_cols, cfg.order_cols, PAYLOAD, validate=False
+        )
+        return live.filter(F.col("op") != "d").select(*cfg.key_cols, *PAYLOAD)
+
+    return select
+
+
+def _oracle_fp(spark, full_dir):
+    full = spark.read.option("mergeSchema", "true").parquet(full_dir).drop("segment")
+    return table_fingerprint(replay_oracle(full.toPandas()))
+
+
+def test_incremental_snapshot_matches_single_shot_replay(spark, tmpdir_path):
+    cfg, full_dir = _setup(spark, tmpdir_path)
+    select = _live_source(spark, cfg, full_dir)
+    results = incremental_snapshot_with_tail(
+        spark, cfg, select, n_chunks=4, tail_epochs_per_chunk=1
+    )
+    # interleave actually happened: chunk epochs (< -99) between tails
+    stages = [r.epoch for r in results]
+    assert sum(1 for e in stages if e <= -100) == 4
+    assert sum(1 for e in stages if e >= 0) == 4  # 4 tail segments
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    assert table_fingerprint(lake.read().toPandas()) == _oracle_fp(spark, full_dir)
+    # prefix-only keys really came from the snapshot (not the tail log):
+    tail = spark.read.option("mergeSchema", "true").parquet(cfg.source_log_path)
+    prefix_only = (
+        lake.read()
+        .join(tail.select(*cfg.key_cols).distinct(), cfg.key_cols, "left_anti")
+        .count()
+    )
+    assert prefix_only > 0
+
+
+def test_kill_mid_snapshot_then_resume(spark, tmpdir_path):
+    cfg, full_dir = _setup(spark, tmpdir_path, seed=23)
+    select = _live_source(spark, cfg, full_dir)
+
+    calls = {"n": 0}
+
+    def crashing_select():
+        calls["n"] += 1
+        if calls["n"] > 3:  # boundaries pass + 2 chunk selects, then die
+            raise RuntimeError("kill -9")
+        return select()
+
+    try:
+        incremental_snapshot_with_tail(
+            spark, cfg, crashing_select, n_chunks=4, tail_epochs_per_chunk=1
+        )
+        raise AssertionError("crash did not fire")
+    except RuntimeError:
+        pass
+
+    # resume with the healthy source: committed chunks/epochs are
+    # skipped (exactly-once), the rest complete, state converges
+    results = incremental_snapshot_with_tail(
+        spark, cfg, select, n_chunks=4, tail_epochs_per_chunk=1
+    )
+    applied_chunks = [r.epoch for r in results if r.epoch <= -100]
+    assert len(applied_chunks) == 2  # chunks 0-1 committed pre-crash
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    assert table_fingerprint(lake.read().toPandas()) == _oracle_fp(spark, full_dir)
+    # second resume is a clean no-op on chunks
+    again = incremental_snapshot_with_tail(
+        spark, cfg, select, n_chunks=4, tail_epochs_per_chunk=1
+    )
+    assert [r.epoch for r in again if r.epoch <= -100] == []
+    assert table_fingerprint(lake.read().toPandas()) == _oracle_fp(spark, full_dir)
+
+
+def test_watermark_window_drops_in_flight_keys(spark, tmpdir_path):
+    """DBLog window rule: a chunk row whose key saw a log event inside
+    the (low, high] watermark window must NOT be merged — the log is
+    the newer truth. Verified by instrumenting one chunk directly."""
+    from go_cdc_spark.sources.incremental_snapshot import _log_keys_between
+
+    cfg, full_dir = _setup(spark, tmpdir_path, seed=31)
+    select = _live_source(spark, cfg, full_dir)
+    bm = BookmarkStore(cfg.bookmark_root, cfg.pipeline_id)
+    from go_cdc_spark.streaming.replay import replay_chunked
+
+    lo = bm.latest_token()
+    replay_chunked(spark, cfg, max_epochs=1)
+    hi = bm.latest_token()
+    assert hi > lo
+    touched = _log_keys_between(spark, cfg, lo, hi)
+    n_touched = touched.count()
+    assert n_touched > 0
+    survivors = select().join(touched, cfg.key_cols, "left_anti")
+    assert survivors.join(touched, cfg.key_cols, "inner").count() == 0
+    # and the window is exactly epoch 1's key set
+    seg = min(
+        int(d.split("=")[1]) for d in os.listdir(cfg.source_log_path)
+    )
+    ep = spark.read.parquet(f"{cfg.source_log_path}/segment={seg}")
+    assert n_touched == ep.select(*cfg.key_cols).distinct().count()
+
+
+def test_plan_key_chunks_balanced_and_total(spark):
+    df = spark.range(0, 20_000).select(
+        F.format_string("repo_%03d", F.pmod(F.col("id"), F.lit(7))).alias("repo"),
+        F.format_string("p_%d", F.col("id")).alias("path"),
+        F.sha2(F.col("id").cast("string"), 256).substr(1, 40).alias("commit"),
+    )
+    plans = plan_key_chunks(df, ["repo", "path", "commit"], 8)
+    assert plans[0].lo is None and plans[-1].hi is None
+    from go_cdc_spark.sources.incremental_snapshot import _chunk_filter
+
+    counts = [
+        _chunk_filter(df, ["repo", "path", "commit"], p).count() for p in plans
+    ]
+    assert sum(counts) == 20_000  # chunks partition the key space
+    assert max(counts) < 2.5 * (20_000 / len(plans))  # balanced under skew
