@@ -401,6 +401,63 @@ def q_cdc_mor_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_changed_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumer scan with manifest data skipping
+    (``ParquetLakeTable.changed_since``, ≙ Iceberg incremental read via
+    value bounds): replay the derived log into a MoR table in 4 epochs
+    (deltas kept, so per-epoch files carry tight ts ranges), then ask
+    for every key whose LAST change is after the mid-log token. The
+    order stats recorded at write time let the read skip all data files
+    wholly before the cursor — I/O is O(data since the cursor), not
+    O(table). Oracle: ranked LWW over the full log filtered to winners
+    past the cutoff; tombstone winners stay visible (op='d')."""
+    from go_cdc_spark import schemas
+    from go_cdc_spark.config import PipelineConfig
+    from go_cdc_spark.sinks.lake import ParquetLakeTable, prune_by_order_stats
+    from go_cdc_spark.streaming.replay import replay_chunked
+
+    ev = _events(spark, sf_dir)
+    log = _derived_log(ev)
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    log = log.withColumn(
+        "segment", (F.col("seq") * 4 / (max_id + 1)).cast("long")
+    )
+    d = tempfile.mkdtemp(prefix="go_cdc_chsince_")
+    log_dir = os.path.join(d, "log")
+    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
+    cfg = PipelineConfig(
+        pipeline_id="entry-chsince",
+        source_log_path=log_dir,
+        bookmark_root=os.path.join(d, "bm"),
+        table_root=os.path.join(d, "table"),
+        key_cols=["user_id"],
+        order_cols=list(schemas.ORDER_COLS),
+        n_buckets=8,
+    )
+    lake = ParquetLakeTable.create(
+        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets,
+        mode="mor", compact_every=1000,
+    )
+    replay_chunked(spark, cfg, chunk_segments=1)
+    split = F.lit(_SPLIT).cast("timestamp_ntz")
+    cut = ev.filter(ev.ts < split).agg(F.max("event_id")).collect()[0][0]
+    token = (cut, 0, cut)
+    # the stats must actually skip files for a mid-log cursor
+    m = lake.manifest()
+    _, kept = prune_by_order_stats(
+        m["buckets"], m.get("deltas", {}), m["order_stats"], token
+    )
+    assert sum(len(v) for v in kept.values()) < sum(
+        len(v) for v in m.get("deltas", {}).values()
+    ), "order stats skipped nothing"
+    return lake.changed_since(token).select(
+        "user_id",
+        "op",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation / time travel: replay the full log in 4
     epochs, then read the table AS OF the manifest committed by epoch 1
@@ -1072,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
         "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
+        "cdc_changed_since": q_cdc_changed_since,
         "cdc_window_rates": q_cdc_window_rates,
         "cdc_sessionize": q_cdc_sessionize,
         "cdc_lineage": q_cdc_lineage,
@@ -1509,6 +1567,16 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
             "SELECT user_id, event_type AS last_event_type, value AS last_value "
             "FROM r WHERE rn = 1 AND op <> 'd'"
+        ),
+        # incremental consumer scan: winners strictly past the cutoff,
+        # tombstones included (op visible)
+        "cdc_changed_since": (
+            f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
+            f"{_OP_SQL} AS op FROM events), "
+            f"x AS (SELECT max(event_id) AS cut FROM events WHERE ts < TIMESTAMP '{_SPLIT}'), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
+            "SELECT user_id, op, event_type AS last_event_type, value AS last_value "
+            "FROM r, x WHERE rn = 1 AND event_id > x.cut"
         ),
         # chunked-snapshot + tail must converge to the same single-shot
         # LWW state — the DBLog watermark contract

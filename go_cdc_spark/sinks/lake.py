@@ -82,6 +82,31 @@ def bucket_expr(key_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
 
 
+def prune_by_order_stats(
+    pointers: dict[str, str],
+    deltas: dict[str, list[str]],
+    order_stats: dict[str, dict[str, list]],
+    token: tuple[int, int, int],
+) -> tuple[dict[str, str], dict[str, list[str]]]:
+    """Drop (dir, bucket) data pointers that provably hold no row with
+    order tuple > token: a file whose max(order0) < token[0] cannot
+    (order0 is the tuple's leading component). Files without recorded
+    stats are always kept — pruning is conservative, never lossy."""
+    t0 = token[0]
+
+    def keep(d: str, b: str) -> bool:
+        s = order_stats.get(d, {}).get(b)
+        return s is None or s[1] >= t0
+
+    new_pointers = {b: d for b, d in pointers.items() if keep(d, b)}
+    new_deltas = {
+        b: kept
+        for b, ds in deltas.items()
+        if (kept := [d for d in ds if keep(d, b)])
+    }
+    return new_pointers, new_deltas
+
+
 def internal_schema(
     logical: T.StructType, key_cols: list[str], order_cols: list[str]
 ) -> T.StructType:
@@ -201,6 +226,20 @@ class ParquetLakeTable:
             return json.load(fh)
 
     def _write_manifest(self, m: dict) -> None:
+        # Attach the data-skipping stats the preceding _write_version_data
+        # gathered (each commit path writes at most one version dir), then
+        # drop stats for dirs no surviving pointer references — the stats
+        # map stays O(live dirs), not O(history).
+        pending = getattr(self, "_pending_stats", None)
+        stats = {d: dict(s) for d, s in m.get("order_stats", {}).items()}
+        if pending is not None:
+            if pending:
+                stats[f"data/v{m['version']}"] = pending
+            self._pending_stats = None
+        referenced = set(m.get("buckets", {}).values()) | {
+            d for ds in m.get("deltas", {}).values() for d in ds
+        }
+        m = {**m, "order_stats": {d: s for d, s in stats.items() if d in referenced}}
         target = os.path.join(self._commits_dir, f"v{m['version']:012d}.json")
         fd, tmp = tempfile.mkstemp(dir=self._commits_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
@@ -288,6 +327,7 @@ class ParquetLakeTable:
         buckets: list[int] | None = None,
         manifest: dict | None = None,
         internal: bool = False,
+        changed_after: tuple[int, int, int] | None = None,
     ) -> DataFrame:
         """Read current table state; ``buckets`` prunes to those buckets
         (path-level pruning — the scan never sees other buckets).
@@ -300,7 +340,16 @@ class ParquetLakeTable:
         In ``mor`` mode the scan unions base + delta files and
         LWW-reduces to one row per key (the read-side half of
         merge-on-read); compaction bounds the delta count per bucket,
-        so read amplification is ≤ ``compact_every`` small files."""
+        so read amplification is ≤ ``compact_every`` small files.
+
+        ``changed_after`` (a log token) skips every data dir whose
+        manifest order stats show it cannot contain a row newer than
+        the token — a pure I/O optimization for incremental consumers
+        (``changed_since``): the scan cost becomes O(data written since
+        the cursor), not O(table). NOTE: the pruned result is only a
+        valid table state for callers that then filter to rows newer
+        than the token — keys whose last change predates it may be
+        missing entirely."""
         m = manifest or self.manifest()
         logical = T.StructType.fromJson(json.loads(m["schema"]))
         order_cols = m.get("order_cols", schemas.ORDER_COLS)
@@ -312,6 +361,10 @@ class ParquetLakeTable:
         if wanted is not None:
             pointers = {b: d for b, d in pointers.items() if b in wanted}
             deltas = {b: ds for b, ds in deltas.items() if b in wanted}
+        if changed_after is not None:
+            pointers, deltas = prune_by_order_stats(
+                pointers, deltas, m.get("order_stats", {}), changed_after
+            )
         # group buckets by the version dir holding their data (base
         # pointers and delta pointers alike — one scan per dir)
         by_dir: dict[str, list[str]] = {}
@@ -402,6 +455,30 @@ class ParquetLakeTable:
             )
         )
 
+    def changed_since(self, token: tuple[int, int, int]) -> DataFrame:
+        """Incremental consumer scan (≙ Iceberg incremental read via
+        manifest value bounds): one row per key whose LAST change is
+        strictly after ``token``, carrying the key's current internal
+        row — order tuple, op ('d' rows are visible tombstones the
+        consumer must apply), and the full post-image payload.
+
+        Correct under pruning: the winner row of any key changed after
+        the token lives in a file whose max(order0) ≥ its order, which
+        the stats prune always keeps; keys whose history is entirely in
+        pruned files cannot pass the final > token filter anyway. So
+        stats pruning changes I/O (O(data written since the cursor)
+        instead of O(table)), never the answer. The coarse
+        ``order0 >= t`` bound is conjoined so parquet row-group stats
+        prune inside the kept files too."""
+        m = self.manifest()
+        order_cols = m.get("order_cols", schemas.ORDER_COLS)
+        df = self.read(manifest=m, internal=True, changed_after=token)
+        exact = F.struct(*[F.col(c) for c in order_cols]) > F.struct(
+            *[F.lit(v).cast("long") for v in token]
+        )
+        coarse = F.col(order_cols[0]) >= F.lit(token[0]).cast("long")
+        return df.filter(coarse & exact)
+
     # ---------- write paths ----------
 
     def _write_version_data(self, df: DataFrame, version: int, n_files_hint: int) -> dict[int, int]:
@@ -428,14 +505,39 @@ class ParquetLakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
-        # exact per-bucket counts from parquet footer metadata — driver-side
-        # file stats, no Spark job; footers are read by a thread pool
-        # (serial footer reads were a measurable per-epoch driver cost)
+        # exact per-bucket counts + order-column min/max from parquet
+        # footer metadata — driver-side file stats, no Spark job; footers
+        # are read by a thread pool (serial footer reads were a
+        # measurable per-epoch driver cost). The min/max of the leading
+        # order column become the manifest's data-skipping stats (≙
+        # Iceberg manifest value_bounds): they cost nothing extra — the
+        # parquet writer already computed them into the row-group
+        # footers we are reading anyway.
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
 
+        order0 = self.order_cols[0]
+
+        def footer(w):
+            b, path = w
+            md = pq.ParquetFile(path).metadata
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            mn = mx = None
+            if order0 in names:
+                j = names.index(order0)
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(j).statistics
+                    if st is None or not st.has_min_max:
+                        mn = mx = None
+                        break
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+            return b, md.num_rows, mn, mx
+
         counts: dict[int, int] = {}
+        bounds: dict[int, list] = {}  # bucket -> [min, max] of order0
+        self._pending_stats = {}
         if not os.path.isdir(out_dir):
             return counts
         work = []  # (bucket, file path)
@@ -452,10 +554,22 @@ class ParquetLakeTable:
         if not work:
             return counts
         with ThreadPoolExecutor(max_workers=min(16, len(work))) as ex:
-            rows = ex.map(lambda w: (w[0], pq.ParquetFile(w[1]).metadata.num_rows), work)
-        for b, n in rows:
+            rows = list(ex.map(footer, work))
+        no_stats = set()
+        for b, n, mn, mx in rows:
             if n:
                 counts[b] = counts.get(b, 0) + n
+            if mn is None:
+                if n:  # a non-empty file without stats poisons the bucket
+                    no_stats.add(b)
+                continue
+            cur = bounds.get(b)
+            bounds[b] = (
+                [mn, mx] if cur is None else [min(cur[0], mn), max(cur[1], mx)]
+            )
+        self._pending_stats = {
+            str(b): v for b, v in bounds.items() if b not in no_stats
+        }
         return counts
 
     def vacuum(self, keep_manifests: int = 8) -> list[str]:

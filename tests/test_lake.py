@@ -528,3 +528,113 @@ def test_change_feed_consumer_fails_loudly_past_vacuum(spark, tmpdir_path):
     t.vacuum(keep_manifests=2)  # expires the consumer's base manifest
     with pytest.raises(FileNotFoundError):
         c.poll()
+
+
+# ---------- manifest order stats + changed_since (data skipping) ----------
+
+
+def _row_t(op, t, key, content="x"):
+    """Row whose ts_t actually varies (the shared _row pins ts_t, which
+    would make order-stats pruning untestable)."""
+    r, p, c = key
+    lang, cont = (None, None) if op == "d" else ("py", content)
+    return (op, t, 0, t, r, p, c, lang, cont)
+
+
+def test_order_stats_recorded_and_bounded(spark, tmpdir_path):
+    t = _table(spark, tmpdir_path, n_buckets=4)
+    t.apply_batch(
+        _resolved(spark, [_row_t("i", 100 + i, (f"r{i}", "p", "c"), "a") for i in range(20)]),
+        "e1",
+    )
+    t.apply_batch(
+        _resolved(spark, [_row_t("u", 200 + i, (f"r{i}", "p", "c"), "b") for i in range(5)]),
+        "e2",
+    )
+    m = t.manifest()
+    assert m["order_stats"], "stats missing from manifest"
+    for d, per_b in m["order_stats"].items():
+        assert d in set(m["buckets"].values()), f"stats for unreferenced dir {d}"
+        for b, (mn, mx) in per_b.items():
+            assert 100 <= mn <= mx <= 299
+
+
+def test_changed_since_matches_unpruned_filter_cow(spark, tmpdir_path):
+    from go_cdc_spark.sinks.lake import prune_by_order_stats
+
+    t = _table(spark, tmpdir_path, n_buckets=8)
+    t.apply_batch(
+        _resolved(spark, [_row_t("i", 100 + i, (f"r{i}", "p", "c"), "a") for i in range(40)]),
+        "e1",
+    )
+    t.apply_batch(
+        _resolved(
+            spark,
+            [_row_t("u", 200 + i, (f"r{i}", "p", "c"), "b") for i in range(3)]
+            + [_row_t("d", 250, ("r5", "p", "c"))],
+        ),
+        "e2",
+    )
+    token = (150, 0, 0)
+    got = {
+        (r["repo"], r["op"], r["content"]) for r in t.changed_since(token).collect()
+    }
+    full = {
+        (r["repo"], r["op"], r["content"])
+        for r in t.read(internal=True).collect()
+        if (r["ts_t"], r["ts_i"], r["seq"]) > token
+    }
+    assert got == full
+    assert ("r5", "d", None) in got  # tombstone visible to the consumer
+    # and the stats actually pruned: buckets untouched by e2 are skipped
+    m = t.manifest()
+    kept, _ = prune_by_order_stats(m["buckets"], m.get("deltas", {}), m["order_stats"], token)
+    assert len(kept) < len(m["buckets"])
+
+
+def test_changed_since_prunes_old_deltas_mor(spark, tmpdir_path):
+    from go_cdc_spark.sinks.lake import ParquetLakeTable, prune_by_order_stats
+
+    t = ParquetLakeTable.create(
+        spark, tmpdir_path, schemas.TABLE_SCHEMA, K, 4, mode="mor"
+    )
+    for e in range(5):
+        t.apply_batch(
+            _resolved(
+                spark,
+                [
+                    _row_t("u", 100 * (e + 1) + i, (f"r{i}", "p", "c"), f"v{e}")
+                    for i in range(10)
+                ],
+            ),
+            f"e{e}",
+        )
+    token = (450, 0, 0)  # only epoch 4 (ts 500..509) is newer
+    got = {(r["repo"], r["content"]) for r in t.changed_since(token).collect()}
+    assert got == {(f"r{i}", "v4") for i in range(10)}
+    m = t.manifest()
+    _, kept_deltas = prune_by_order_stats(
+        m["buckets"], m.get("deltas", {}), m["order_stats"], token
+    )
+    n_kept = sum(len(ds) for ds in kept_deltas.values())
+    n_all = sum(len(ds) for ds in m.get("deltas", {}).values())
+    assert n_kept < n_all, "old delta files were not skipped"
+
+
+def test_prune_by_order_stats_conservative():
+    from go_cdc_spark.sinks.lake import prune_by_order_stats
+
+    pointers = {"0": "data/v1", "1": "data/v2"}
+    deltas = {"0": ["data/v3", "data/v4"]}
+    stats = {
+        "data/v1": {"0": [10, 50]},
+        "data/v3": {"0": [60, 80]},
+        "data/v4": {"0": [90, 120]},
+        # data/v2 has no stats -> must be kept
+    }
+    p, d = prune_by_order_stats(pointers, deltas, stats, (85, 0, 0))
+    assert p == {"1": "data/v2"}  # v1 max 50 < 85 pruned; v2 unknown kept
+    assert d == {"0": ["data/v4"]}  # v3 max 80 < 85 pruned
+    # boundary: max == token[0] must be kept (ts_i/seq may exceed)
+    p2, _ = prune_by_order_stats(pointers, {}, stats, (50, 0, 0))
+    assert "0" in p2
