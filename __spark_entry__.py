@@ -458,6 +458,95 @@ def q_cdc_changed_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count evolution mid-stream (``ParquetLakeTable.rebucket``,
+    ≙ Iceberg partition-spec evolution for a bucket transform): replay
+    the first half of the log at 8 buckets, atomically flip the table
+    to 16, replay the rest — later epochs merge under the new modulus.
+    Oracle: single-shot LWW replay; the layout change must be invisible
+    in the final state."""
+    from go_cdc_spark import schemas
+    from go_cdc_spark.config import PipelineConfig
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+    from go_cdc_spark.streaming.replay import replay_chunked
+
+    ev = _events(spark, sf_dir)
+    log = _derived_log(ev)
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    log = log.withColumn(
+        "segment", (F.col("seq") * 4 / (max_id + 1)).cast("long")
+    )
+    d = tempfile.mkdtemp(prefix="go_cdc_rebucket_")
+    log_dir = os.path.join(d, "log")
+    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
+    cfg = PipelineConfig(
+        pipeline_id="entry-rebucket",
+        source_log_path=log_dir,
+        bookmark_root=os.path.join(d, "bm"),
+        table_root=os.path.join(d, "table"),
+        key_cols=["user_id"],
+        order_cols=list(schemas.ORDER_COLS),
+        n_buckets=8,
+    )
+    lake = ParquetLakeTable.create(
+        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
+    )
+    replay_chunked(spark, cfg, chunk_segments=1, max_epochs=2)
+    assert lake.rebucket(16).applied and lake.n_buckets == 16
+    replay_chunked(spark, cfg, chunk_segments=1)  # epochs 2-3 at 16 buckets
+    return lake.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path point read (``ParquetLakeTable.lookup``): replay
+    the log, then fetch five explicit keys — each hashed to its bucket
+    driver-side so the scan touches only those buckets with the key
+    predicate pushed into parquet. I/O is O(keys), not O(table).
+    Oracle: LWW winners for the same five keys."""
+    from go_cdc_spark import schemas
+    from go_cdc_spark.config import PipelineConfig
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+    from go_cdc_spark.streaming.replay import replay_chunked
+
+    ev = _events(spark, sf_dir)
+    log = _derived_log(ev)
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    log = log.withColumn(
+        "segment", (F.col("seq") * 4 / (max_id + 1)).cast("long")
+    )
+    d = tempfile.mkdtemp(prefix="go_cdc_lookup_")
+    log_dir = os.path.join(d, "log")
+    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
+    cfg = PipelineConfig(
+        pipeline_id="entry-lookup",
+        source_log_path=log_dir,
+        bookmark_root=os.path.join(d, "bm"),
+        table_root=os.path.join(d, "table"),
+        key_cols=["user_id"],
+        order_cols=list(schemas.ORDER_COLS),
+        n_buckets=8,
+    )
+    lake = ParquetLakeTable.create(
+        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
+    )
+    replay_chunked(spark, cfg, chunk_segments=1)
+    out = lake.lookup([(1,), (2,), (3,), (4,), (5,)])
+    # the pruned scan must touch strictly fewer files than a full read
+    # (5 keys hash to at most 5 of the 8 buckets)
+    assert len(out.inputFiles()) < len(lake.read().inputFiles()), (
+        "point lookup read as many files as a full scan"
+    )
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation / time travel: replay the full log in 4
     epochs, then read the table AS OF the manifest committed by epoch 1
@@ -985,12 +1074,18 @@ def q_sim_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The entry LSH near-dup operating POINT is auto-resolved from corpus
 # size (the round-3 defect was pinning n_bits=4, which degenerates to
-# near-all-pairs as N grows): bits target ~1 row/bucket, tables target
-# 0.92 recall for pairs AT the 0.45 threshold. Measured on the fixtures:
-# sf0.01 (N=500 → bits=9, T=124) candidates 24.7% of all pairs, recall
-# 1.0; sf0.1 (N=2000 → bits=11, T=295) candidates 17.0%, recall 0.958 —
-# candidate volume stays LINEAR in N while the exact operator's is N².
-_LSH_ND_POLICY = dict(threshold=0.45, target_bucket_rows=1, target_recall=0.92)
+# near-all-pairs as N grows): bits = max(occupancy bits for ~4
+# rows/bucket, the scale-free 25%-candidate-fraction floor — see
+# lsh_frac_floor_bits), tables target 0.92 recall for pairs AT the
+# 0.45 threshold. On the fixtures both scales resolve to bits=9,
+# T=123: sf0.01 candidates ~22% of all pairs, sf0.1 ~21%, recall ≥0.95
+# — candidate volume stays bounded while signature work is 2.4× below
+# the round-3 occupancy-only point (11 bits → 295 tables). Honest
+# note: the fixture's widest real pairs sit at cos≈0.45-0.49 (θ≈63°),
+# where hyperplane LSH's ρ-exponent is poor — at N=2k the exact GEMM
+# operator is still cheaper; the LSH entry is benched as the scale
+# path whose work is Θ(N^(1+ρ)) vs the exact Θ(N²).
+_LSH_ND_POLICY = dict(threshold=0.45, target_bucket_rows=4, target_recall=0.92)
 
 
 def q_sim_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1130,6 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
         "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
         "cdc_changed_since": q_cdc_changed_since,
+        "cdc_rebucket": q_cdc_rebucket,
+        "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_window_rates": q_cdc_window_rates,
         "cdc_sessionize": q_cdc_sessionize,
         "cdc_lineage": q_cdc_lineage,
@@ -1322,10 +1419,19 @@ def _lsh_near_dup_oracle_sql_auto() -> str:
     near_dup_by_cosine_lsh will at run time — same lsh_auto_bits /
     lsh_auto_tables calls on the oracle-scale corpus row count (parquet
     footer, no scan) — then emit the inlined-planes twin."""
-    from go_cdc_spark.functions.similarity import lsh_auto_bits, lsh_auto_tables
+    from go_cdc_spark.functions.similarity import (
+        lsh_auto_bits,
+        lsh_auto_tables,
+        lsh_frac_floor_bits,
+    )
 
     n = _oracle_embeddings_rows()
-    bits = lsh_auto_bits(n, _LSH_ND_POLICY["target_bucket_rows"])
+    bits = max(
+        lsh_auto_bits(n, _LSH_ND_POLICY["target_bucket_rows"]),
+        lsh_frac_floor_bits(
+            _LSH_ND_POLICY["threshold"], _LSH_ND_POLICY["target_recall"]
+        ),
+    )
     tables = lsh_auto_tables(
         _LSH_ND_POLICY["threshold"], bits, _LSH_ND_POLICY["target_recall"]
     )
@@ -1562,6 +1668,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM s GROUP BY user_id, sid"
         ),
         "cdc_snapshot_then_tail": (
+            f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
+            f"{_OP_SQL} AS op FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
+            "SELECT user_id, event_type AS last_event_type, value AS last_value "
+            "FROM r WHERE rn = 1 AND op <> 'd'"
+        ),
+        # bucket-pruned point read: LWW winners for the 5 requested keys
+        "cdc_point_lookup": (
+            f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
+            f"{_OP_SQL} AS op FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
+            "SELECT user_id, event_type AS last_event_type, value AS last_value "
+            "FROM r WHERE rn = 1 AND op <> 'd' AND user_id IN (1, 2, 3, 4, 5)"
+        ),
+        # mid-stream bucket-layout flip must be invisible in final state
+        "cdc_rebucket": (
             f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
             f"{_OP_SQL} AS op FROM events), "
             "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "

@@ -530,6 +530,32 @@ def lsh_auto_bits(n_docs: int, target_bucket_rows: int = 2, max_bits: int = 24) 
     return max(1, min(max_bits, (buckets_needed - 1).bit_length()))
 
 
+def lsh_frac_floor_bits(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_frac: float = 0.25,
+    max_bits: int = 24,
+) -> int:
+    """Smallest signature width whose PREDICTED random-pair candidate
+    fraction stays ≤ ``max_frac`` once enough tables are stacked to hit
+    ``target_recall`` at the threshold: frac(b) = 1-(1-2^-b)^T(b),
+    which is scale-FREE (no N). Complements :func:`lsh_auto_bits`: the
+    occupancy bits bound absolute candidate VOLUME as N grows; this
+    floor bounds the FRACTION at small N. Resolving bits as the max of
+    the two also stops over-paying signatures — every bit above the
+    floor multiplies the table count by ~1/p_plane for no candidate-
+    volume benefit once occupancy is already ~1 (the round-3→4 lesson:
+    at N=2k/θ≈63° the old occupancy-only resolution picked 11 bits →
+    295 tables, 2.4× the signature work of the 9-bit floor for the
+    same recall and capped fraction)."""
+    for b in range(1, max_bits + 1):
+        t = lsh_auto_tables(threshold, b, target_recall)
+        frac = 1.0 - (1.0 - 0.5**b) ** t
+        if frac <= max_frac:
+            return b
+    return max_bits
+
+
 def lsh_auto_tables(
     threshold: float,
     n_bits: int,
@@ -654,7 +680,12 @@ def near_dup_by_cosine_lsh(
         # limit(k+1) probe answers "≤ k?" without a full scan
         n_docs = df.select(id_col).limit(max_broadcast_rows + 1).count()
     if n_bits is None:
-        n_bits = lsh_auto_bits(n_docs, target_bucket_rows)
+        # occupancy bits bound candidate VOLUME as N grows; the frac
+        # floor bounds candidate FRACTION (and table count) at small N
+        n_bits = max(
+            lsh_auto_bits(n_docs, target_bucket_rows),
+            lsh_frac_floor_bits(threshold, target_recall),
+        )
     if n_tables is None:
         n_tables = lsh_auto_tables(threshold, n_bits, target_recall)
     # candidate generation on SKINNY rows only — (id, table, bucket),

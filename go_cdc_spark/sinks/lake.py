@@ -682,6 +682,91 @@ class ParquetLakeTable:
             version, epoch_key, True, target, counts, sum(counts.values())
         )
 
+    def lookup(self, key_values: list[tuple]) -> DataFrame:
+        """Point lookup: current live rows for an explicit list of keys.
+
+        The serving-path read (≙ a replica point query): hash each
+        requested key to its bucket DRIVER-side (same xxhash64 the
+        writer used, evaluated on a tiny local DataFrame — no job
+        against the table), then scan ONLY those buckets with the key
+        predicate pushed into the parquet scan. I/O is O(requested
+        buckets), not O(table): at 10k buckets a 5-key lookup touches
+        ≤5/10000 of the data regardless of table size. Intended for
+        small, explicit key lists (an operator debugging a key, a
+        spot-check job); set-membership at scale should join against
+        the bucketed table instead."""
+        m = self.manifest()
+        key_cols = m["key_cols"]
+        if not key_values:
+            raise ValueError("lookup needs at least one key tuple")
+        by_name = {f.name: f for f in self.schema.fields}
+        keys_df = self.spark.createDataFrame(
+            [tuple(k) for k in key_values],
+            schema=T.StructType([by_name[c] for c in key_cols]),
+        )
+        wanted = keys_df.select(
+            bucket_expr(key_cols, m["n_buckets"]).alias("b")
+        ).distinct()
+        buckets = sorted(r["b"] for r in wanted.collect())  # ≤ len(keys)
+        pred = None
+        for k in key_values:
+            eq = None
+            for c, v in zip(key_cols, k):
+                cond = F.col(c) == F.lit(v)
+                eq = cond if eq is None else (eq & cond)
+            pred = eq if pred is None else (pred | eq)
+        return self.read(buckets=buckets, manifest=m).filter(pred)
+
+    def rebucket(self, new_n_buckets: int) -> CommitStats:
+        """Bucket-count evolution (≙ Iceberg partition-spec evolution
+        for a bucket transform): rewrite the table under a new hash
+        layout and flip it atomically in ONE manifest commit.
+
+        Needed when a table outgrows its layout — the bucket count sets
+        per-epoch write parallelism, merge-task size, and prune
+        granularity, so a table that grew 100× since creation wants a
+        wider modulus. Changing the modulus remaps every key, so unlike
+        compaction this cannot proceed in per-bucket waves: it is one
+        full repartition-and-write job (the same O(table) cost Iceberg
+        pays to rewrite files under a new spec), made safe by the
+        atomic flip — readers and writers always derive ``bucket_expr``
+        from the live manifest, never from a cached layout, so an epoch
+        that starts after the flip merges under the new modulus and
+        time-travel reads of pre-flip manifests still see the old
+        layout. MoR deltas are folded into the new bases as a side
+        effect (the internal read already LWW-reduces; tombstones
+        survive). Idempotent per source version. No-op if the count is
+        unchanged."""
+        m = self.manifest()
+        if new_n_buckets == m["n_buckets"]:
+            return CommitStats(m["version"], "__rebucket_noop__", applied=False)
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        epoch_key = f"__rebucket__{new_n_buckets}__v{m['version']}"
+        if epoch_key in m["epochs"]:
+            return CommitStats(m["version"], epoch_key, applied=False)
+        version = m["version"] + 1
+        folded = self.read(manifest=m, internal=True).withColumn(
+            "bucket", bucket_expr(m["key_cols"], new_n_buckets)
+        )
+        counts = self._write_version_data(folded, version, new_n_buckets)
+        self._write_manifest(
+            {
+                **m,
+                "version": version,
+                "epoch_key": epoch_key,
+                "n_buckets": new_n_buckets,
+                "buckets": {str(b): f"data/v{version}" for b in counts},
+                "bucket_counts": {str(b): n for b, n in counts.items()},
+                "deltas": {},
+                "delta_counts": {},
+                **self._epochs_after_commit(m, epoch_key, version),
+            }
+        )
+        return CommitStats(
+            version, epoch_key, True, sorted(counts), counts, sum(counts.values())
+        )
+
     def _epoch_manifest_files(self) -> list[str]:
         return sorted(
             f

@@ -95,36 +95,31 @@ def _chunk_filter(df: DataFrame, key_cols: list[str], plan: ChunkPlan) -> DataFr
 def _log_keys_between(
     spark: SparkSession,
     cfg: PipelineConfig,
+    lake: ParquetLakeTable,
     lo: tuple[int, int, int],
     hi: tuple[int, int, int],
 ) -> DataFrame:
     """Distinct keys of log events with token in (lo, hi] — the
-    watermark window. Column-pruned scan; the coarse ``ts_t`` bounds
-    push into parquet row-group stats so only the window's segments
-    are actually read (≙ the paper's in-memory window buffer, which
-    cannot exist at 10^10 events)."""
-    from go_cdc_spark.operators.resolve import from_token
+    watermark window. Column-pruned scan through the same format-aware
+    reader the tail uses (parquet/json/csv), with the token lower bound
+    applied by ``read_chunk``; the coarse ``ts_t`` bounds push into
+    parquet row-group stats so only the window's segments are actually
+    read (≙ the paper's in-memory window buffer, which cannot exist at
+    10^10 events)."""
+    from go_cdc_spark.sources.oplog import Chunk, list_segments, read_chunk
+    from go_cdc_spark.streaming.replay import _source_schema
 
-    log = spark.read.option("mergeSchema", "true").parquet(
-        *[f"{cfg.source_log_path}/segment={k}" for k in _segments(cfg)]
+    segs = list_segments(cfg.source_log_path)
+    log = read_chunk(
+        spark, cfg.source_log_path, Chunk(epoch=0, segments=segs), token=lo,
+        fmt=cfg.source_format, schema=_source_schema(cfg, lake),
     )
     t, i, s = hi
     upper = F.struct(F.col("ts_t"), F.col("ts_i"), F.col("seq")) <= F.struct(
         F.lit(t).cast("long"), F.lit(i).cast("long"), F.lit(s).cast("long")
     )
     coarse = F.col("ts_t") <= F.lit(t).cast("long")
-    return (
-        from_token(log, lo)
-        .filter(coarse & upper)
-        .select(*cfg.key_cols)
-        .distinct()
-    )
-
-
-def _segments(cfg: PipelineConfig) -> list[int]:
-    from go_cdc_spark.sources.oplog import list_segments
-
-    return list_segments(cfg.source_log_path)
+    return log.filter(coarse & upper).select(*cfg.key_cols).distinct()
 
 
 def _durable_plan(
@@ -206,7 +201,7 @@ def incremental_snapshot_with_tail(
         rows = _chunk_filter(select_source(), cfg.key_cols, plan)
         if hi > lo:
             # window dedup: the log already carries these keys' truth
-            touched = _log_keys_between(spark, cfg, lo, hi)
+            touched = _log_keys_between(spark, cfg, lake, lo, hi)
             rows = rows.join(touched, on=cfg.key_cols, how="left_anti")
         payload = [
             f.name for f in lake.schema.fields if f.name not in set(cfg.key_cols)

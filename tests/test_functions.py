@@ -672,3 +672,31 @@ def test_filter_corpus_gates(spark):
         df, min_tokens=5, max_tokens=50, max_punct_per_100=50, langs=("en", "de")
     ).collect()}
     assert kept_all == {1, 3, 4}
+
+
+def test_lsh_frac_floor_bits_bounds_tables_and_fraction():
+    """Round-4 policy: resolved bits = max(occupancy, frac floor).
+    The floor is scale-free and must (a) keep the predicted random-pair
+    candidate fraction ≤ 25% and (b) never let a small corpus at a wide
+    threshold over-pay signatures (the 11-bit/295-table round-3 point)."""
+    from go_cdc_spark.functions.similarity import (
+        lsh_auto_bits,
+        lsh_auto_tables,
+        lsh_frac_floor_bits,
+    )
+
+    for threshold in (0.45, 0.6, 0.8, 0.95):
+        b = lsh_frac_floor_bits(threshold, 0.92)
+        t = lsh_auto_tables(threshold, b, 0.92)
+        frac = 1 - (1 - 0.5**b) ** t
+        assert frac <= 0.25
+        # one fewer bit must violate the cap (minimality) unless b == 1
+        if b > 1:
+            t1 = lsh_auto_tables(threshold, b - 1, 0.92)
+            assert 1 - (1 - 0.5 ** (b - 1)) ** t1 > 0.25
+    # the wide-threshold small-corpus case that motivated the floor:
+    bits = max(lsh_auto_bits(2000, 4), lsh_frac_floor_bits(0.45, 0.92))
+    assert bits == 9
+    assert lsh_auto_tables(0.45, bits, 0.92) < 150  # was 295 at 11 bits
+    # occupancy still wins at large N (volume stays linear)
+    assert max(lsh_auto_bits(10**6, 4), lsh_frac_floor_bits(0.45, 0.92)) == 18

@@ -159,13 +159,15 @@ def test_watermark_window_drops_in_flight_keys(spark, tmpdir_path):
     cfg, full_dir = _setup(spark, tmpdir_path, seed=31)
     select = _live_source(spark, cfg, full_dir)
     bm = BookmarkStore(cfg.bookmark_root, cfg.pipeline_id)
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
     from go_cdc_spark.streaming.replay import replay_chunked
 
     lo = bm.latest_token()
     replay_chunked(spark, cfg, max_epochs=1)
     hi = bm.latest_token()
     assert hi > lo
-    touched = _log_keys_between(spark, cfg, lo, hi)
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    touched = _log_keys_between(spark, cfg, lake, lo, hi)
     n_touched = touched.count()
     assert n_touched > 0
     survivors = select().join(touched, cfg.key_cols, "left_anti")

@@ -638,3 +638,82 @@ def test_prune_by_order_stats_conservative():
     # boundary: max == token[0] must be kept (ts_i/seq may exceed)
     p2, _ = prune_by_order_stats(pointers, {}, stats, (50, 0, 0))
     assert "0" in p2
+
+
+# ---------- bucket-count evolution (rebucket) ----------
+
+
+def test_rebucket_preserves_state_and_future_merges(spark, tmpdir_path):
+    t = _table(spark, tmpdir_path, n_buckets=4)
+    t.apply_batch(
+        _resolved(
+            spark,
+            [_row_t("i", 100 + i, (f"r{i}", "p", "c"), f"v{i}") for i in range(30)]
+            + [_row_t("d", 150, ("r3", "p", "c"))],
+        ),
+        "e1",
+    )
+    before = {(r["repo"], r["content"]) for r in t.read().collect()}
+    m_old = t.manifest()
+    stats = t.rebucket(16)
+    assert stats.applied and t.n_buckets == 16
+    assert {(r["repo"], r["content"]) for r in t.read().collect()} == before
+    # tombstone survived the rewrite (late-arriving older event must lose)
+    tomb = [r for r in t.read(internal=True).collect() if r["op"] == "d"]
+    assert [r["repo"] for r in tomb] == ["r3"]
+    t.apply_batch(
+        _resolved(spark, [_row_t("u", 300, ("r0", "p", "c"), "post-flip")]), "e2"
+    )
+    assert dict(
+        (r["repo"], r["content"]) for r in t.read().collect()
+    )["r0"] == "post-flip"
+    # post-flip commit pointed at buckets under the new modulus
+    assert all(0 <= int(b) < 16 for b in t.manifest()["buckets"])
+    # time travel: the pre-flip manifest still reads the old layout
+    assert {
+        (r["repo"], r["content"]) for r in t.read(manifest=m_old).collect()
+    } == before
+    # idempotence: same target count is a no-op commit
+    assert not t.rebucket(16).applied
+
+
+def test_rebucket_mor_folds_deltas(spark, tmpdir_path):
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+
+    t = ParquetLakeTable.create(
+        spark, tmpdir_path, schemas.TABLE_SCHEMA, K, 4, mode="mor",
+        compact_every=1000,
+    )
+    for e in range(3):
+        t.apply_batch(
+            _resolved(
+                spark,
+                [_row_t("u", 100 * (e + 1) + i, (f"r{i}", "p", "c"), f"v{e}") for i in range(12)],
+            ),
+            f"e{e}",
+        )
+    assert t.manifest()["deltas"]
+    before = {(r["repo"], r["content"]) for r in t.read().collect()}
+    assert t.rebucket(8).applied
+    m = t.manifest()
+    assert m["deltas"] == {} and m["n_buckets"] == 8
+    assert {(r["repo"], r["content"]) for r in t.read().collect()} == before
+
+
+def test_lookup_point_read_prunes_buckets(spark, tmpdir_path):
+    t = _table(spark, tmpdir_path, n_buckets=16)
+    t.apply_batch(
+        _resolved(
+            spark,
+            [_row_t("i", 100 + i, (f"r{i}", "p", "c"), f"v{i}") for i in range(40)],
+        ),
+        "e1",
+    )
+    t.apply_batch(_resolved(spark, [_row_t("d", 200, ("r1", "p", "c"))]), "e2")
+    out = t.lookup([("r1", "p", "c"), ("r7", "p", "c")])
+    assert {(r["repo"], r["content"]) for r in out.collect()} == {("r7", "v7")}
+    assert len(out.inputFiles()) < len(t.read().inputFiles())
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.lookup([])
