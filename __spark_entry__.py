@@ -291,6 +291,49 @@ def _table_schema():
     )
 
 
+def _entry_cfg(spark: SparkSession, d: str, name: str, **create_kw):
+    """PipelineConfig + empty lake table under temp root ``d`` — the
+    shared tail of every replay-based entry query's setup."""
+    from go_cdc_spark import schemas
+    from go_cdc_spark.config import PipelineConfig
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+
+    cfg = PipelineConfig(
+        pipeline_id=f"entry-{name}",
+        source_log_path=os.path.join(d, "log"),
+        table_root=os.path.join(d, "table"),
+        bookmark_root=os.path.join(d, "bm"),
+        key_cols=["user_id"],
+        order_cols=list(schemas.ORDER_COLS),
+        n_buckets=8,
+    )
+    lake = ParquetLakeTable.create(
+        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets,
+        **create_kw,
+    )
+    return cfg, lake
+
+
+def _entry_pipeline(
+    spark: SparkSession, sf_dir: str, name: str, n_segments: int = 4, **create_kw
+):
+    """Write the derived log as ordered seq-range segments (one segment
+    ≙ one oplog poll; event_id monotone in ts makes the ranges ordered)
+    and stand up the pipeline against it. Returns (cfg, lake) ready for
+    ``replay_chunked``."""
+    ev = _events(spark, sf_dir)
+    log = _derived_log(ev)
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    log = log.withColumn(
+        "segment", (F.col("seq") * n_segments / (max_id + 1)).cast("long")
+    )
+    d = tempfile.mkdtemp(prefix=f"go_cdc_{name}_")
+    log.repartition("segment").write.partitionBy("segment").mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "log"))
+    return _entry_cfg(spark, d, name, **create_kw)
+
+
 def q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew path: the same LWW reduce through the salted two-phase
     formulation (hot monorepo keys, north_rule) — must equal the
@@ -319,34 +362,9 @@ def q_cdc_replay_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     table state. The oracle is the single-shot SQL replay — equality
     is the reference-parity contract (final table state matches the
     reference tailer's replicated collection, BASELINE.json)."""
-    from go_cdc_spark import schemas
-    from go_cdc_spark.config import PipelineConfig
-    from go_cdc_spark.sinks.lake import ParquetLakeTable
     from go_cdc_spark.streaming.replay import replay_chunked
 
-    ev = _events(spark, sf_dir)
-    log = _derived_log(ev)
-    # segments must be ordered seq ranges (one segment ≙ one oplog poll)
-    max_id = ev.agg(F.max("event_id")).collect()[0][0]
-    log = log.withColumn(
-        "segment", (F.col("seq") * 4 / (max_id + 1)).cast("long")
-    )
-    d = tempfile.mkdtemp(prefix="go_cdc_entry_")
-    log_dir = os.path.join(d, "log")
-    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
-    table_schema = _table_schema()
-    cfg = PipelineConfig(
-        pipeline_id="entry-e2e",
-        source_log_path=log_dir,
-        table_root=os.path.join(d, "table"),
-        bookmark_root=os.path.join(d, "bm"),
-        key_cols=["user_id"],
-        order_cols=list(schemas.ORDER_COLS),
-        n_buckets=8,
-    )
-    lake = ParquetLakeTable.create(
-        spark, cfg.table_root, table_schema, cfg.key_cols, cfg.n_buckets
-    )
+    cfg, lake = _entry_pipeline(spark, sf_dir, "e2e")
     replay_chunked(spark, cfg, chunk_segments=1)
     return lake.read().select(
         "user_id",
@@ -363,32 +381,10 @@ def q_cdc_mor_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded table. Equality with the single-shot SQL replay proves the
     fold preserves LWW/tombstone semantics exactly — the maintenance
     path is held to the same reference-parity contract as ingest."""
-    from go_cdc_spark import schemas
-    from go_cdc_spark.config import PipelineConfig
-    from go_cdc_spark.sinks.lake import ParquetLakeTable
     from go_cdc_spark.streaming.replay import replay_chunked
 
-    ev = _events(spark, sf_dir)
-    log = _derived_log(ev)
-    max_id = ev.agg(F.max("event_id")).collect()[0][0]
-    log = log.withColumn(
-        "segment", (F.col("seq") * 4 / (max_id + 1)).cast("long")
-    )
-    d = tempfile.mkdtemp(prefix="go_cdc_compact_")
-    log_dir = os.path.join(d, "log")
-    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
-    cfg = PipelineConfig(
-        pipeline_id="entry-compact",
-        source_log_path=log_dir,
-        bookmark_root=os.path.join(d, "bm"),
-        table_root=os.path.join(d, "table"),
-        key_cols=["user_id"],
-        order_cols=list(schemas.ORDER_COLS),
-        n_buckets=8,
-    )
-    lake = ParquetLakeTable.create(
-        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets,
-        mode="mor", compact_every=1000,
+    cfg, lake = _entry_pipeline(
+        spark, sf_dir, "compact", mode="mor", compact_every=1000
     )
     replay_chunked(spark, cfg, chunk_segments=1)
     assert lake.manifest()["deltas"], "MoR replay should leave deltas to compact"
@@ -411,32 +407,12 @@ def q_cdc_changed_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     wholly before the cursor — I/O is O(data since the cursor), not
     O(table). Oracle: ranked LWW over the full log filtered to winners
     past the cutoff; tombstone winners stay visible (op='d')."""
-    from go_cdc_spark import schemas
-    from go_cdc_spark.config import PipelineConfig
-    from go_cdc_spark.sinks.lake import ParquetLakeTable, prune_by_order_stats
+    from go_cdc_spark.sinks.lake import prune_by_order_stats
     from go_cdc_spark.streaming.replay import replay_chunked
 
     ev = _events(spark, sf_dir)
-    log = _derived_log(ev)
-    max_id = ev.agg(F.max("event_id")).collect()[0][0]
-    log = log.withColumn(
-        "segment", (F.col("seq") * 4 / (max_id + 1)).cast("long")
-    )
-    d = tempfile.mkdtemp(prefix="go_cdc_chsince_")
-    log_dir = os.path.join(d, "log")
-    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
-    cfg = PipelineConfig(
-        pipeline_id="entry-chsince",
-        source_log_path=log_dir,
-        bookmark_root=os.path.join(d, "bm"),
-        table_root=os.path.join(d, "table"),
-        key_cols=["user_id"],
-        order_cols=list(schemas.ORDER_COLS),
-        n_buckets=8,
-    )
-    lake = ParquetLakeTable.create(
-        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets,
-        mode="mor", compact_every=1000,
+    cfg, lake = _entry_pipeline(
+        spark, sf_dir, "chsince", mode="mor", compact_every=1000
     )
     replay_chunked(spark, cfg, chunk_segments=1)
     split = F.lit(_SPLIT).cast("timestamp_ntz")
@@ -465,32 +441,9 @@ def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 16, replay the rest — later epochs merge under the new modulus.
     Oracle: single-shot LWW replay; the layout change must be invisible
     in the final state."""
-    from go_cdc_spark import schemas
-    from go_cdc_spark.config import PipelineConfig
-    from go_cdc_spark.sinks.lake import ParquetLakeTable
     from go_cdc_spark.streaming.replay import replay_chunked
 
-    ev = _events(spark, sf_dir)
-    log = _derived_log(ev)
-    max_id = ev.agg(F.max("event_id")).collect()[0][0]
-    log = log.withColumn(
-        "segment", (F.col("seq") * 4 / (max_id + 1)).cast("long")
-    )
-    d = tempfile.mkdtemp(prefix="go_cdc_rebucket_")
-    log_dir = os.path.join(d, "log")
-    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
-    cfg = PipelineConfig(
-        pipeline_id="entry-rebucket",
-        source_log_path=log_dir,
-        bookmark_root=os.path.join(d, "bm"),
-        table_root=os.path.join(d, "table"),
-        key_cols=["user_id"],
-        order_cols=list(schemas.ORDER_COLS),
-        n_buckets=8,
-    )
-    lake = ParquetLakeTable.create(
-        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
-    )
+    cfg, lake = _entry_pipeline(spark, sf_dir, "rebucket")
     replay_chunked(spark, cfg, chunk_segments=1, max_epochs=2)
     assert lake.rebucket(16).applied and lake.n_buckets == 16
     replay_chunked(spark, cfg, chunk_segments=1)  # epochs 2-3 at 16 buckets
@@ -507,32 +460,9 @@ def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side so the scan touches only those buckets with the key
     predicate pushed into parquet. I/O is O(keys), not O(table).
     Oracle: LWW winners for the same five keys."""
-    from go_cdc_spark import schemas
-    from go_cdc_spark.config import PipelineConfig
-    from go_cdc_spark.sinks.lake import ParquetLakeTable
     from go_cdc_spark.streaming.replay import replay_chunked
 
-    ev = _events(spark, sf_dir)
-    log = _derived_log(ev)
-    max_id = ev.agg(F.max("event_id")).collect()[0][0]
-    log = log.withColumn(
-        "segment", (F.col("seq") * 4 / (max_id + 1)).cast("long")
-    )
-    d = tempfile.mkdtemp(prefix="go_cdc_lookup_")
-    log_dir = os.path.join(d, "log")
-    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
-    cfg = PipelineConfig(
-        pipeline_id="entry-lookup",
-        source_log_path=log_dir,
-        bookmark_root=os.path.join(d, "bm"),
-        table_root=os.path.join(d, "table"),
-        key_cols=["user_id"],
-        order_cols=list(schemas.ORDER_COLS),
-        n_buckets=8,
-    )
-    lake = ParquetLakeTable.create(
-        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
-    )
+    cfg, lake = _entry_pipeline(spark, sf_dir, "lookup")
     replay_chunked(spark, cfg, chunk_segments=1)
     out = lake.lookup([(1,), (2,), (3,), (4,), (5,)])
     # the pruned scan must touch strictly fewer files than a full read
@@ -557,32 +487,9 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     data referenced by a surviving manifest)."""
     import json as _json
 
-    from go_cdc_spark import schemas
-    from go_cdc_spark.config import PipelineConfig
-    from go_cdc_spark.sinks.lake import ParquetLakeTable
     from go_cdc_spark.streaming.replay import replay_chunked
 
-    ev = _events(spark, sf_dir)
-    log = _derived_log(ev)
-    max_id = ev.agg(F.max("event_id")).collect()[0][0]
-    log = log.withColumn(
-        "segment", (F.col("seq") * 4 / (max_id + 1)).cast("long")
-    )
-    d = tempfile.mkdtemp(prefix="go_cdc_tt_")
-    log_dir = os.path.join(d, "log")
-    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
-    cfg = PipelineConfig(
-        pipeline_id="entry-tt",
-        source_log_path=log_dir,
-        table_root=os.path.join(d, "table"),
-        bookmark_root=os.path.join(d, "bm"),
-        key_cols=["user_id"],
-        order_cols=list(schemas.ORDER_COLS),
-        n_buckets=8,
-    )
-    lake = ParquetLakeTable.create(
-        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
-    )
+    cfg, lake = _entry_pipeline(spark, sf_dir, "tt")
     replay_chunked(spark, cfg, chunk_segments=1)  # 4 epochs committed
     files = lake._epoch_manifest_files()
     assert len(files) == 5  # create + 4 epoch commits
@@ -605,32 +512,9 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns exactly the net changes the later epochs applied."""
     import json as _json
 
-    from go_cdc_spark import schemas
-    from go_cdc_spark.config import PipelineConfig
-    from go_cdc_spark.sinks.lake import ParquetLakeTable
     from go_cdc_spark.streaming.replay import replay_chunked
 
-    ev = _events(spark, sf_dir)
-    log = _derived_log(ev)
-    max_id = ev.agg(F.max("event_id")).collect()[0][0]
-    log = log.withColumn(
-        "segment", (F.col("seq") * 2 / (max_id + 1)).cast("long")
-    )
-    d = tempfile.mkdtemp(prefix="go_cdc_cdf_")
-    log_dir = os.path.join(d, "log")
-    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
-    cfg = PipelineConfig(
-        pipeline_id="entry-cdf",
-        source_log_path=log_dir,
-        table_root=os.path.join(d, "table"),
-        bookmark_root=os.path.join(d, "bm"),
-        key_cols=["user_id"],
-        order_cols=list(schemas.ORDER_COLS),
-        n_buckets=8,
-    )
-    lake = ParquetLakeTable.create(
-        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
-    )
+    cfg, lake = _entry_pipeline(spark, sf_dir, "cdf", n_segments=2)
     replay_chunked(spark, cfg, chunk_segments=1)  # 2 epochs committed
     files = lake._epoch_manifest_files()
     with open(os.path.join(cfg.table_root, "_commits", files[1])) as fh:
@@ -650,9 +534,6 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid-stream; rows whose winning event predates the column read as
     null (north_rule / SURVEY §1.2 contract). Oracle: single-shot
     replay computing value_cents only for post-split winners."""
-    from go_cdc_spark import schemas
-    from go_cdc_spark.config import PipelineConfig
-    from go_cdc_spark.sinks.lake import ParquetLakeTable
     from go_cdc_spark.streaming.replay import replay_chunked
 
     ev = _events(spark, sf_dir)
@@ -670,18 +551,7 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old.repartition(4).write.mode("overwrite").parquet(f"{log_dir}/segment=0")
     new.repartition(4).write.mode("overwrite").parquet(f"{log_dir}/segment=1")
-    cfg = PipelineConfig(
-        pipeline_id="entry-evolve",
-        source_log_path=log_dir,
-        table_root=os.path.join(d, "table"),
-        bookmark_root=os.path.join(d, "bm"),
-        key_cols=["user_id"],
-        order_cols=list(schemas.ORDER_COLS),
-        n_buckets=8,
-    )
-    lake = ParquetLakeTable.create(
-        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
-    )
+    cfg, lake = _entry_cfg(spark, d, "evolve")
     replay_chunked(spark, cfg, chunk_segments=1)
     return lake.read().select(
         "user_id", F.col("event_type").alias("last_event_type"), "value_cents"
@@ -713,33 +583,10 @@ def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches what it actually applied. (Bucket-level counts are also
     recorded but are xxhash-bucketed, hence pinned by pytest rather
     than a SQL twin.)"""
-    from go_cdc_spark import schemas
     from go_cdc_spark.bookmark import BookmarkStore
-    from go_cdc_spark.config import PipelineConfig
-    from go_cdc_spark.sinks.lake import ParquetLakeTable
     from go_cdc_spark.streaming.replay import replay_chunked
 
-    ev = _events(spark, sf_dir)
-    log = _derived_log(ev)
-    max_id = ev.agg(F.max("event_id")).collect()[0][0]
-    log = log.withColumn(
-        "segment", (F.col("seq") * 2 / (max_id + 1)).cast("long")
-    )
-    d = tempfile.mkdtemp(prefix="go_cdc_lineage_")
-    log_dir = os.path.join(d, "log")
-    log.repartition("segment").write.partitionBy("segment").mode("overwrite").parquet(log_dir)
-    cfg = PipelineConfig(
-        pipeline_id="entry-lineage",
-        source_log_path=log_dir,
-        table_root=os.path.join(d, "table"),
-        bookmark_root=os.path.join(d, "bm"),
-        key_cols=["user_id"],
-        order_cols=list(schemas.ORDER_COLS),
-        n_buckets=8,
-    )
-    ParquetLakeTable.create(
-        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
-    )
+    cfg, _ = _entry_pipeline(spark, sf_dir, "lineage", n_segments=2)
     replay_chunked(spark, cfg, chunk_segments=1)
     bm = BookmarkStore(cfg.bookmark_root, cfg.pipeline_id)
     rows = [
@@ -778,8 +625,6 @@ def q_cdc_snapshot_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     dump-then-tail decomposition must be invisible in the final state
     (§2.2-4 overlap contract)."""
     from go_cdc_spark import schemas
-    from go_cdc_spark.config import PipelineConfig
-    from go_cdc_spark.sinks.lake import ParquetLakeTable
     from go_cdc_spark.streaming.replay import run_pipeline
 
     ev = _events(spark, sf_dir)
@@ -795,22 +640,9 @@ def q_cdc_snapshot_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix, ["user_id"], list(schemas.ORDER_COLS), ["event_type", "value"]
     ).filter(F.col("op") != "d").drop("op")
     d = tempfile.mkdtemp(prefix="go_cdc_snaptail_")
-    log_dir = os.path.join(d, "log")
-    suffix.repartition(4).write.mode("overwrite").parquet(f"{log_dir}/segment=0")
-    cfg = PipelineConfig(
-        pipeline_id="entry-snaptail",
-        source_log_path=log_dir,
-        table_root=os.path.join(d, "table"),
-        bookmark_root=os.path.join(d, "bm"),
-        key_cols=["user_id"],
-        order_cols=list(schemas.ORDER_COLS),
-        n_buckets=8,
-    )
-    ParquetLakeTable.create(
-        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
-    )
+    suffix.repartition(4).write.mode("overwrite").parquet(f"{d}/log/segment=0")
+    cfg, lake = _entry_cfg(spark, d, "snaptail")
     run_pipeline(spark, cfg, source_df=snap, chunk_segments=1)
-    lake = ParquetLakeTable.load(spark, cfg.table_root)
     return lake.read().select(
         "user_id",
         F.col("event_type").alias("last_event_type"),
@@ -831,9 +663,7 @@ def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     be invisible."""
     from go_cdc_spark import schemas
     from go_cdc_spark.bookmark import BookmarkStore
-    from go_cdc_spark.config import PipelineConfig
     from go_cdc_spark.operators.resolve import lww_resolve
-    from go_cdc_spark.sinks.lake import ParquetLakeTable
     from go_cdc_spark.sources.incremental_snapshot import (
         incremental_snapshot_with_tail,
     )
@@ -849,22 +679,10 @@ def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("seq") - rng["lo"]) * 4 / (rng["hi"] - rng["lo"] + 1)).cast("long"),
     )
     d = tempfile.mkdtemp(prefix="go_cdc_incsnap_")
-    log_dir = os.path.join(d, "log")
     suffix_seg.repartition("segment").write.partitionBy("segment").mode(
         "overwrite"
-    ).parquet(log_dir)
-    cfg = PipelineConfig(
-        pipeline_id="entry-incsnap",
-        source_log_path=log_dir,
-        table_root=os.path.join(d, "table"),
-        bookmark_root=os.path.join(d, "bm"),
-        key_cols=["user_id"],
-        order_cols=list(schemas.ORDER_COLS),
-        n_buckets=8,
-    )
-    ParquetLakeTable.create(
-        spark, cfg.table_root, _table_schema(), cfg.key_cols, cfg.n_buckets
-    )
+    ).parquet(os.path.join(d, "log"))
+    cfg, lake = _entry_cfg(spark, d, "incsnap")
     bm = BookmarkStore(cfg.bookmark_root, cfg.pipeline_id)
 
     def select_live():
@@ -887,7 +705,6 @@ def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     incremental_snapshot_with_tail(spark, cfg, select_live, n_chunks=4)
-    lake = ParquetLakeTable.load(spark, cfg.table_root)
     return lake.read().select(
         "user_id",
         F.col("event_type").alias("last_event_type"),

@@ -790,9 +790,15 @@ def connected_components(
         F.expr(f"try_cast({a_col} AS LONG)").alias("_u"),
         F.expr(f"try_cast({b_col} AS LONG)").alias("_v"),
     )
+    # materialize the edge list ONCE before anything consumes it:
+    # `pairs` is typically the unmaterialized output of an expensive
+    # candidate-generation pipeline (minhash/LSH banding), and the
+    # null probe, the symmetric-closure union, and the first checksum
+    # would each re-execute that lineage otherwise (edges are orders
+    # smaller than the corpus, so the checkpoint is cheap)
+    e = e.localCheckpoint(eager=True)
     # a non-numeric (or null) id try_casts to null and its pairs would
-    # vanish from the graph — fail loudly instead (one cheap probe over
-    # the edge list, which is orders smaller than the corpus)
+    # vanish from the graph — fail loudly instead
     n_null = e.filter(u.isNull() | v.isNull()).limit(1).count()
     if n_null:
         raise ValueError(
@@ -800,8 +806,11 @@ def connected_components(
             "cast to long (null after cast); their pairs would be dropped"
         )
     e = e.filter(u != v)
-    # symmetric closure once up front; stars keep orientation explicit
+    # symmetric closure once up front; stars keep orientation explicit;
+    # checkpoint again so the first checksum and the first star round
+    # don't both pay the distinct's shuffle
     edges = e.unionByName(e.select(v.alias("_u"), u.alias("_v"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
 
     def star(es: DataFrame, large: bool) -> DataFrame:
         m = es.groupBy("_u").agg(F.least(F.min("_v"), F.col("_u")).alias("_m"))

@@ -660,24 +660,30 @@ def near_dup_by_cosine_lsh(
       docs no matter the corpus size — candidate volume stays
       ~``n_tables·N·target/2`` (LINEAR in N) instead of quadratic at
       fixed bits. Costs one ``count()``.
-    - Vectors are carried THROUGH the bucket join (one Arrow pass →
-      JVM ``posexplode``), so verification is a codegen'd cosine on
-      the join output — no corpus re-joins, no row-level candidate
-      materialization before the threshold filter, and the
-      ``dropDuplicates`` runs on SURVIVORS only (post-filter), not on
-      the full candidate set.
+    - Candidate generation is SKINNY (id, table, bucket) rows only —
+      the vectors cross the Arrow boundary once for signatures and
+      never ride the bucket shuffle. Verification is regime-gated like
+      the exact operator: ≤ ``max_broadcast_rows`` broadcasts the
+      corpus matrix once and scores candidate batches with vectorized
+      gathers (no corpus re-join at all); above it, two skinny
+      key-joins fetch vectors for the deduped candidates and a
+      codegen'd expanded-dot cosine scores them. ``dropDuplicates``
+      runs on SURVIVORS (broadcast regime) or on the skinny pair set
+      pre-join (distributed regime) — never on wide rows.
 
     Recall is tunable: more tables → recall at linear cost (gate:
     tests/test_functions.py asserts ≥0.9 vs the exact operator at the
     entry operating point). Wide thresholds (small cos) need MANY
-    tables — per-table collision is (1-θ/π)^bits. The bucket join
-    shuffles (table, bucket) keyed rows — no broadcast of the corpus,
-    no driver state beyond the resolved bit count."""
-    if n_bits is None or n_tables is None:
-        n_docs = df.count()  # exact N drives the bit/table resolution
+    tables — per-table collision is (1-θ/π)^bits. The bucket shuffle
+    is (table, bucket) keyed skinny rows — no broadcast of the corpus
+    in candidate generation, no driver state beyond the resolved bit
+    count."""
+    if n_bits is None:
+        n_docs = df.count()  # exact N drives the bit resolution
     else:
-        # both pinned: only the verify-regime gate needs N, and a
-        # limit(k+1) probe answers "≤ k?" without a full scan
+        # bits pinned: table resolution never looks at N, so only the
+        # verify-regime gate needs it, and a limit(k+1) probe answers
+        # "≤ k?" without a full scan
         n_docs = df.select(id_col).limit(max_broadcast_rows + 1).count()
     if n_bits is None:
         # occupancy bits bound candidate VOLUME as N grows; the frac
@@ -697,28 +703,32 @@ def near_dup_by_cosine_lsh(
     # Arrow pass). Per-bucket fan-out is |bucket|² but auto-bits holds
     # |bucket| ≈ target_bucket_rows, so the explode stays linear in N.
     sig = _bucket_array_signatures(df, n_bits, dim, id_col, vec_col, seed, n_tables)
-    ids_pairs = F.filter(
-        F.flatten(
-            F.transform(
-                "ids",
-                lambda a: F.transform(
-                    "ids", lambda b: F.struct(a.alias("a"), b.alias("b"))
-                ),
-            )
-        ),
-        lambda p: p["a"] < p["b"],
-    )
     # NO dropDuplicates here: a pair colliding in k tables costs k
     # cheap vectorized re-verifications (k ≈ T·p₁, small), which is
     # far cheaper than a full-width shuffle of the candidate set; the
     # dedup runs post-filter on SURVIVORS (≈ true pairs, tiny).
+    #
+    # Pair generation is posexplode + per-element SLICE of the bucket's
+    # id array, NOT a flattened |bucket|²-struct array: the slice keeps
+    # per-row memory O(|bucket|) so one pathological bucket (a giant
+    # exact-duplicate cluster hashes identically in EVERY table, no
+    # matter the bit width) degrades to |bucket|² output ROWS instead
+    # of a single 2 GB array that kills the executor. (Such clusters
+    # should still be collapsed by exact dedup first — their pair
+    # OUTPUT is inherently quadratic.)
     cand = (
         sig.select(id_col, F.posexplode("buckets").alias("table", "bucket"))
         .groupBy("table", "bucket")
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") >= 2)
-        .select(F.explode(ids_pairs).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .select(F.col("ids"), F.posexplode("ids").alias("_i", "_a"))
+        .select(
+            F.col("_a"),
+            F.explode(F.slice(F.col("ids"), F.col("_i") + 2, F.size("ids"))).alias("_b"),
+        )
+        .select(
+            F.least("_a", "_b").alias("doc_a"), F.greatest("_a", "_b").alias("doc_b")
+        )
     )
     # exact verify, regime-gated like near_dup_by_cosine:
     if n_docs <= max_broadcast_rows:
@@ -726,12 +736,6 @@ def near_dup_by_cosine_lsh(
         # as Arrow batches of id pairs and one vectorized gather+dot
         # scores each batch — same FP recipe as the exact broadcast
         # path (unnormalized dot, divide by norms, threshold unrounded)
-        pdf = df.select(id_col, vec_col).toPandas()
-        ids = pdf[id_col].to_numpy()
-        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
-        idx = {int(i): k for k, i in enumerate(ids)}
-        bc = df.sparkSession.sparkContext.broadcast((idx, mat, norms))
         out_schema = T.StructType(
             [
                 T.StructField("doc_a", T.LongType()),
@@ -739,6 +743,14 @@ def near_dup_by_cosine_lsh(
                 T.StructField("cos_sim", T.DoubleType()),
             ]
         )
+        pdf = df.select(id_col, vec_col).toPandas()
+        if pdf.empty:  # np.vstack rejects zero arrays; no pairs anyway
+            return df.sparkSession.createDataFrame([], out_schema)
+        ids = pdf[id_col].to_numpy()
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        idx = {int(i): k for k, i in enumerate(ids)}
+        bc = df.sparkSession.sparkContext.broadcast((idx, mat, norms))
 
         def verify(it):
             c_idx, c_mat, c_norms = bc.value
@@ -769,7 +781,12 @@ def near_dup_by_cosine_lsh(
     v = F.col(vec_col).cast("array<double>")
     vecs = df.select(
         F.col(id_col).alias("_vid"), v.alias("_v"),
-        F.sqrt(_expanded_dot(v, v, dim)).alias("_n"),  # norm once per vector
+        # norm once per vector, floored like the broadcast path — a
+        # zero vector would make sim 0/0 = NaN, and Spark SQL orders
+        # NaN ABOVE every double, so `>= threshold` would pass it
+        F.greatest(
+            F.sqrt(_expanded_dot(v, v, dim)), F.lit(1e-12)
+        ).alias("_n"),
     )
     sim = _expanded_dot(F.col("_va"), F.col("_vb"), dim) / (
         F.col("_na") * F.col("_nb")

@@ -139,7 +139,19 @@ def _durable_plan(
     if os.path.exists(path):
         with open(path) as fh:
             saved = json.load(fh)
-        return [ChunkPlan(**p) for p in saved["chunks"]]
+        plans = [ChunkPlan(**p) for p in saved["chunks"]]
+        if len(plans) != n_chunks:
+            # resume MUST keep the old edges; tell the caller their new
+            # n_chunks was ignored instead of silently honoring neither
+            import warnings
+
+            warnings.warn(
+                f"incremental snapshot resume: reusing the durable plan's "
+                f"{len(plans)} chunk boundaries; n_chunks={n_chunks} is "
+                "only honored when the plan is first computed",
+                stacklevel=3,
+            )
+        return plans
     plans = plan_key_chunks(select_source(), key_cols, n_chunks)
     fd, tmp = tempfile.mkstemp(dir=bookmarks.dir, suffix=".tmp")
     with os.fdopen(fd, "w") as fh:
@@ -180,6 +192,21 @@ def incremental_snapshot_with_tail(
     bookmarks = BookmarkStore(cfg.bookmark_root, cfg.pipeline_id)
     plans = _durable_plan(bookmarks, select_source, cfg.key_cols, n_chunks)
     done = lake.committed_epochs()
+    if all(f"snapchunk-{cfg.pipeline_id}-{p.index}" in done for p in plans):
+        # every chunk is already committed: this call is a pure tail.
+        # Correct for a resume, but an operator expecting a FRESH
+        # re-snapshot (source repaired/backfilled) would get a
+        # success-shaped result with zero rows copied — say so. A
+        # re-snapshot needs a new pipeline_id (chunk epoch keys and the
+        # durable plan are scoped to it).
+        import warnings
+
+        warnings.warn(
+            f"incremental snapshot for pipeline {cfg.pipeline_id!r} is "
+            "already complete; no rows will be copied (tail only). "
+            "Use a new pipeline_id to re-snapshot.",
+            stacklevel=2,
+        )
     results: list[EpochResult] = []
 
     for plan in plans:

@@ -28,10 +28,10 @@ from go_cdc_spark.config import PipelineConfig
 
 
 def _read_source(reader, cfg: PipelineConfig) -> DataFrame:
-    """Bind a schema'd readStream to the oplog segment glob with the
-    SAME explicit format branches as replay_streaming — an unknown
-    ``source_format`` raises here instead of silently reading the
-    segments as parquet."""
+    """Bind a schema'd readStream to the oplog segment glob — the one
+    format dispatch shared with replay_streaming (an unknown
+    ``source_format`` raises instead of silently reading the segments
+    as parquet)."""
     glob = f"{cfg.source_log_path}/segment=*"
     if cfg.source_format == "json":
         return reader.json(glob)

@@ -188,21 +188,14 @@ def replay_streaming(
     stream_schema = (
         cfg.source_schema() or union_schema(schemas.EVENT_SCHEMA, lake.schema)
     )
-    reader = spark.readStream.schema(stream_schema).option(
-        "maxFilesPerTrigger", max_files_per_trigger
+    from go_cdc_spark.streaming.monitor import _read_source
+
+    reader = _read_source(
+        spark.readStream.schema(stream_schema).option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        ),
+        cfg,
     )
-    glob = f"{cfg.source_log_path}/segment=*"
-    if cfg.source_format == "json":
-        reader = reader.json(glob)
-    elif cfg.source_format == "csv":
-        reader = reader.option("header", "false").csv(glob)
-    elif cfg.source_format == "parquet":
-        reader = reader.parquet(glob)
-    else:
-        raise ValueError(
-            f"unknown source_format {cfg.source_format!r}; "
-            "expected 'parquet', 'json', or 'csv'"
-        )
 
     def body(batch_df: DataFrame, epoch_id: int):
         apply_epoch(

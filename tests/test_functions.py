@@ -511,6 +511,51 @@ def test_connected_components_fails_loudly(spark):
         connected_components(chain, max_rounds=1).collect()
 
 
+def test_lsh_near_dup_giant_duplicate_cluster(spark):
+    """A big exact-duplicate cluster hashes to the SAME bucket in every
+    table no matter the bit width — pair generation must degrade to
+    |cluster|² output ROWS (slice-explode), never one |cluster|²-struct
+    array row (the pre-round-4 formulation, which OOMs an executor on
+    the first real corpus with a boilerplate cluster). 120 clones →
+    7,140 pairs, all found, plus nothing from the decoys."""
+    import numpy as np
+
+    from go_cdc_spark.functions.similarity import near_dup_by_cosine_lsh
+
+    rng = np.random.default_rng(7)
+    clone = rng.standard_normal(64).tolist()
+    rows = [(i, clone) for i in range(120)]
+    rows += [(1000 + i, rng.standard_normal(64).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = near_dup_by_cosine_lsh(df, threshold=0.99).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert pairs == {(a, b) for a in range(120) for b in range(120) if a < b}
+    assert all(r["cos_sim"] == 1.0 for r in got)
+
+
+def test_lsh_near_dup_degenerate_inputs(spark):
+    """Empty corpus → empty result (broadcast verify must not vstack
+    nothing); zero vectors in the DISTRIBUTED verify regime must not
+    emit NaN pairs (Spark orders NaN above every double, so an
+    unfloored 0/0 would pass `>= threshold`)."""
+    from go_cdc_spark.functions.similarity import near_dup_by_cosine_lsh
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert near_dup_by_cosine_lsh(empty, threshold=0.9).count() == 0
+
+    import math
+
+    rows = [(0, [0.0] * 64), (1, [0.0] * 64)]
+    rows += [(2 + i, [float(j == i) for j in range(64)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # max_broadcast_rows=2 forces the distributed (join-based) verify
+    got = near_dup_by_cosine_lsh(
+        df, threshold=0.5, n_bits=2, n_tables=8, max_broadcast_rows=2
+    ).collect()
+    assert all(not math.isnan(r["cos_sim"]) for r in got)
+    assert not {(r["doc_a"], r["doc_b"]) for r in got} & {(0, 1)}
+
+
 def test_lsh_near_dup_recall_vs_exact(spark):
     """The LSH-bucketed near-dup path must recover ≥0.9 of the exact
     operator's pairs at the ENTRY operating point (auto-scaled bits &
@@ -521,6 +566,7 @@ def test_lsh_near_dup_recall_vs_exact(spark):
     from go_cdc_spark.functions.similarity import (
         lsh_auto_bits,
         lsh_auto_tables,
+        lsh_frac_floor_bits,
         near_dup_by_cosine,
         near_dup_by_cosine_lsh,
         _bucket_array_signatures,
@@ -540,9 +586,12 @@ def test_lsh_near_dup_recall_vs_exact(spark):
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
 
-    # candidate-volume gate: distinct colliding pairs < 25% of N(N-1)/2
+    # candidate-volume gate: distinct colliding pairs < 25% of N(N-1)/2,
+    # measured at the SAME bit width the operator above resolved
+    # (max of occupancy bits and the frac floor — measuring
+    # occupancy-only signatures would gate a point production never runs)
     n = emb.count()
-    bits = lsh_auto_bits(n, 1)
+    bits = max(lsh_auto_bits(n, 1), lsh_frac_floor_bits(0.45, 0.92))
     tables = lsh_auto_tables(0.45, bits, 0.92)
     sig = _bucket_array_signatures(emb, bits, 64, "vec_id", "embedding", 42, tables)
     sig = sig.select("vec_id", F.posexplode("buckets").alias("table", "bucket"))

@@ -111,6 +111,21 @@ def test_incremental_snapshot_matches_single_shot_replay(spark, tmpdir_path):
         .count()
     )
     assert prefix_only > 0
+    # a second invocation is a pure tail (resume semantics) but must
+    # SAY so — an operator expecting a fresh re-snapshot would
+    # otherwise read success with zero rows copied
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        again = incremental_snapshot_with_tail(spark, cfg, select, n_chunks=4)
+    assert any("already complete" in str(x.message) for x in w)
+    assert all(r.epoch >= 0 for r in again)  # no chunk epochs re-applied
+    # and a mismatched n_chunks on resume warns that the plan wins
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        incremental_snapshot_with_tail(spark, cfg, select, n_chunks=9)
+    assert any("only honored" in str(x.message) for x in w)
 
 
 def test_kill_mid_snapshot_then_resume(spark, tmpdir_path):
