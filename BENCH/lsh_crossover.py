@@ -116,6 +116,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ns", default="25000,100000,250000")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--exact-max", type=int, default=25_000,
+        help="skip the exact operator above this N (its N² wall time is "
+             "the point being demonstrated); recall is then measured "
+             "against the planted pairs instead",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -140,34 +146,44 @@ def main() -> None:
         corpus.count()  # materialize once; both operators read the same cache
         truth = planted_pairs(n)
 
-        t0 = time.monotonic()
-        exact = near_dup_by_cosine(corpus, THRESHOLD)
-        exact_pairs = {
-            (r["doc_a"], r["doc_b"]) for r in exact.collect()
-        }
-        t_exact = time.monotonic() - t0
-        # sanity: the exact operator must find every planted pair
-        missed = truth - exact_pairs
-        assert not missed, f"exact missed {len(missed)} planted pairs at N={n}"
+        t_exact = None
+        exact_pairs = None
+        if n <= args.exact_max:
+            t0 = time.monotonic()
+            exact = near_dup_by_cosine(corpus, THRESHOLD)
+            exact_pairs = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
+            t_exact = time.monotonic() - t0
+            # sanity: the exact operator must find every planted pair
+            missed = truth - exact_pairs
+            assert not missed, f"exact missed {len(missed)} planted pairs at N={n}"
 
         t0 = time.monotonic()
         lsh = near_dup_by_cosine_lsh(corpus, THRESHOLD)
         lsh_pairs = {(r["doc_a"], r["doc_b"]) for r in lsh.collect()}
         t_lsh = time.monotonic() - t0
-        recall = len(lsh_pairs & exact_pairs) / max(1, len(exact_pairs))
-        assert not (lsh_pairs - exact_pairs), "LSH emitted a false positive"
+        ref = exact_pairs if exact_pairs is not None else truth
+        recall = len(lsh_pairs & ref) / max(1, len(ref))
+        if exact_pairs is not None:
+            assert not (lsh_pairs - exact_pairs), "LSH emitted a false positive"
         assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 at N={n}"
 
         corpus.unpersist()
-        for op, sec in (("exact", t_exact), ("lsh", t_lsh)):
+        timed = [("exact", t_exact)] if t_exact is not None else []
+        timed.append(("lsh", t_lsh))
+        for op, sec in timed:
             rec = {
                 "n": n,
                 "op": op,
                 "seconds": round(sec, 3),
                 "threshold": THRESHOLD,
-                "true_pairs": len(exact_pairs),
-                "recall_vs_exact": 1.0 if op == "exact" else round(recall, 4),
-                "speedup_lsh_over_exact": None if op == "exact" else round(t_exact / t_lsh, 2),
+                "true_pairs": len(ref),
+                "recall_basis": "exact" if exact_pairs is not None else "planted",
+                "recall": 1.0 if op == "exact" else round(recall, 4),
+                "speedup_lsh_over_exact": (
+                    round(t_exact / t_lsh, 2)
+                    if op == "lsh" and t_exact is not None
+                    else None
+                ),
             }
             rows.append(rec)
             print(json.dumps(rec), flush=True)
