@@ -700,6 +700,59 @@ def test_rebucket_mor_folds_deltas(spark, tmpdir_path):
     assert {(r["repo"], r["content"]) for r in t.read().collect()} == before
 
 
+def test_rebucket_is_invisible_to_cdf_and_consumers(spark, tmpdir_path):
+    """A layout flip is NOT a logical change: changes_between across
+    the rebucket commit must be empty (a consumer replaying the feed
+    must not see phantom updates), the diff across (pre-flip →
+    post-flip-plus-writes) must carry only the real writes, and a
+    ChangeFeedConsumer polling through the flip reconstructs the same
+    state as a fresh reader."""
+    from go_cdc_spark.sinks.consumer import ChangeFeedConsumer
+
+    t = _table(spark, tmpdir_path, n_buckets=4)
+    t.apply_batch(
+        _resolved(
+            spark,
+            [_row_t("i", 100 + i, (f"r{i}", "p", "c"), f"v{i}") for i in range(12)],
+        ),
+        "e1",
+    )
+    c = ChangeFeedConsumer(t, os.path.join(tmpdir_path, "_offsets"), "cdc-x")
+    state = {}
+
+    def drain():
+        diff, v = c.poll()
+        for r in diff.collect():
+            if r["change_type"] == "delete":
+                state.pop(r["repo"], None)
+            else:
+                state[r["repo"]] = r["content"]
+        c.ack(v)
+
+    drain()  # bootstrap
+    m_pre = t.manifest()
+    assert t.rebucket(16).applied
+    m_post = t.manifest()
+    assert t.changes_between(m_pre, m_post).count() == 0
+    t.apply_batch(
+        _resolved(spark, [_row_t("u", 300, ("r0", "p", "c"), "post-flip"),
+                          _row_t("d", 301, ("r1", "p", "c"))]),
+        "e2",
+    )
+    span = {r["repo"]: r.asDict()
+            for r in t.changes_between(m_pre, t.manifest()).collect()}
+    assert set(span) == {"r0", "r1"}
+    assert span["r0"]["change_type"] == "update"
+    assert span["r1"]["change_type"] == "delete"
+    drain()
+    drain()
+    assert state == {
+        (f"r{i}"): ("post-flip" if i == 0 else f"v{i}")
+        for i in range(12)
+        if i != 1
+    }
+
+
 def test_lookup_point_read_prunes_buckets(spark, tmpdir_path):
     t = _table(spark, tmpdir_path, n_buckets=16)
     t.apply_batch(
