@@ -712,6 +712,63 @@ def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_stateful_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming materializer (streaming/stateful.py): the
+    derived log replayed as 4 file micro-batches through
+    ``applyInPandasWithState`` — per-key LWW state lives in the
+    streaming state store (O(live keys), checkpointed), each batch
+    emits only the keys it touched, already resolved. The serving-path
+    twin of the reference's always-on tailer loop (tailer.go:75-121).
+    Oracle: the single-shot SQL LWW replay — the micro-batch/state
+    decomposition must be invisible in the final state."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from go_cdc_spark.config import PipelineConfig
+    from go_cdc_spark.streaming.stateful import (
+        materialize_stream,
+        materialized_state,
+    )
+
+    ev = _events(spark, sf_dir)
+    log = _derived_log(ev)
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    log = log.withColumn("segment", (F.col("seq") * 4 / (max_id + 1)).cast("long"))
+    d = tempfile.mkdtemp(prefix="go_cdc_statemat_")
+    log.repartition("segment").write.partitionBy("segment").mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "log"))
+    cfg = PipelineConfig(
+        pipeline_id="entry-statemat",
+        source_log_path=os.path.join(d, "log"),
+        table_root=os.path.join(d, "table"),
+        bookmark_root=os.path.join(d, "bm"),
+        key_cols=["user_id"],
+        order_cols=["ts_t", "ts_i", "seq"],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_t", T.LongType()),
+            T.StructField("ts_i", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    out = f"statemat_{uuid.uuid4().hex[:8]}"
+    q = materialize_stream(spark, cfg, out, stream_schema=schema)
+    q.awaitTermination()
+    st = materialized_state(spark, out, cfg, ["event_type", "value"])
+    return st.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 # ---------------- training-data pipeline queries ----------------
 
 
@@ -1041,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
         "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
+        "cdc_stateful_materialize": q_cdc_stateful_materialize,
         "cdc_changed_since": q_cdc_changed_since,
         "cdc_rebucket": q_cdc_rebucket,
         "cdc_point_lookup": q_cdc_point_lookup,
@@ -1440,6 +1498,15 @@ def oracle_sql() -> dict[str, str]:
             "OR o.value IS DISTINCT FROM n.value"
         ),
         "cdc_lww_salted": (
+            f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
+            f"{_OP_SQL} AS op FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
+            "SELECT user_id, event_type AS last_event_type, value AS last_value "
+            "FROM r WHERE rn = 1 AND op <> 'd'"
+        ),
+        # stateful streaming materializer: per-key state-store LWW over
+        # 4 micro-batches must equal the single-shot SQL replay
+        "cdc_stateful_materialize": (
             f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
             f"{_OP_SQL} AS op FROM events), "
             "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "

@@ -1,0 +1,156 @@
+"""Continuously-materialized per-key state via ``applyInPandasWithState``.
+
+The batch engine materializes state epoch-by-epoch: ``lww_resolve``
+reduces each chunk and the lake MERGE folds it into bucketed parquet
+(read amplification per epoch, state lives on disk). This module is
+the low-latency serving alternative the reference approximates with
+its always-on tailer loop (reference mongoreplay/tailer.go:75-121,
+single-threaded apply of each fetched batch): per-key LWW state lives
+in the *streaming state store* — hash-partitioned by key across
+executors, exactly one row per live key, checkpointed for
+exactly-once recovery — and each micro-batch emits only the keys it
+touched, already resolved.
+
+Scale shape (100 TB / 10^10 events): state is O(live keys), not
+O(events); each micro-batch shuffles only its own rows (one exchange
+on the key hash, the same partitioning every batch, so state-store
+locality is preserved); the Python worker sees one Arrow batch per
+updated key-group. No per-batch table rewrite, no compaction debt.
+
+Semantic contract (reference parity, SURVEY §2.2): identical to the
+batch engine's LWW resolve — max ``(ts_t, ts_i, seq)`` wins per key,
+re-delivered/stale events lose the tuple compare and are dropped
+(duplicate-boundary tolerance), deletes are retained in state as
+tombstones so a late stale update cannot resurrect a deleted key
+(op set ≙ message.go:17-21).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from go_cdc_spark import schemas
+from go_cdc_spark.config import PipelineConfig
+
+
+def _split_schema(schema: T.StructType, cfg: PipelineConfig):
+    """(key fields, order fields, payload fields) in declaration order."""
+    by_name = {f.name: f for f in schema.fields}
+    missing = [c for c in list(cfg.key_cols) + list(cfg.order_cols) + ["op"] if c not in by_name]
+    if missing:
+        raise ValueError(f"stream schema lacks required columns {missing}")
+    reserved = set(cfg.key_cols) | set(cfg.order_cols) | {"op"}
+    payload = [f.name for f in schema.fields if f.name not in reserved]
+    return (
+        [by_name[c] for c in cfg.key_cols],
+        [by_name[c] for c in cfg.order_cols],
+        [by_name[c] for c in payload],
+    )
+
+
+def materialize_stream(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    out_table: str,
+    stream_schema: T.StructType | None = None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Start a stateful materializer over the oplog segment directory.
+
+    Emits, per micro-batch, one resolved row per key the batch touched
+    (update output mode) into the in-memory table ``out_table``;
+    returns the StreamingQuery. Deletes are emitted with op='d' so a
+    downstream serving layer can evict; :func:`materialized_state`
+    folds the emission history back to a point-in-time table.
+    """
+    from go_cdc_spark.streaming.monitor import _read_source
+
+    schema = stream_schema or cfg.source_schema() or schemas.EVENT_SCHEMA
+    key_f, order_f, payload_f = _split_schema(schema, cfg)
+    key_cols = [f.name for f in key_f]
+    order_cols = [f.name for f in order_f]
+    payload_cols = [f.name for f in payload_f]
+    n_order = len(order_cols)
+
+    state_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in order_f]
+        + [T.StructField("op", T.StringType(), True)]
+        + [T.StructField(f.name, f.dataType, True) for f in payload_f]
+    )
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in key_f] + state_schema.fields
+    )
+    out_cols = key_cols + order_cols + ["op"] + payload_cols
+
+    def update(key, pdfs, state):
+        cur = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # Only the batch's LWW winner can change state: argmax by
+            # the order tuple (stable sort; tuples are unique by seq).
+            top = pdf.sort_values(order_cols, kind="mergesort").iloc[-1]
+            cand = tuple(int(top[c]) for c in order_cols)
+            if cur is None or cand > cur[:n_order]:
+                payload = [
+                    None
+                    if pd.isna(top[c])
+                    else (top[c].item() if hasattr(top[c], "item") else top[c])
+                    for c in payload_cols
+                ]
+                cur = cand + (str(top["op"]),) + tuple(payload)
+        state.update(cur)
+        yield pd.DataFrame([tuple(key) + cur], columns=out_cols)
+
+    reader = _read_source(
+        spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        ),
+        cfg,
+    )
+    emitted = reader.groupBy(*key_cols).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    writer = (
+        emitted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(out_table)
+        .option(
+            "checkpointLocation",
+            f"{cfg.bookmark_root}/{cfg.pipeline_id}/_materialize_checkpoint",
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=cfg.trigger_interval or "1 second")
+    return writer.start()
+
+
+def materialized_state(
+    spark: SparkSession,
+    out_table: str,
+    cfg: PipelineConfig,
+    payload_cols: list[str],
+    include_deletes: bool = False,
+) -> DataFrame:
+    """Fold the emission history in ``out_table`` to final table state.
+
+    Per-key state is monotone in the order tuple, so the final state
+    is the LWW winner over all emissions — the same semilattice reduce
+    as the batch path (one shuffle)."""
+    from pyspark.sql import functions as F
+
+    from go_cdc_spark.operators.resolve import lww_resolve
+
+    r = lww_resolve(
+        spark.table(out_table),
+        list(cfg.key_cols),
+        list(cfg.order_cols),
+        payload_cols,
+    )
+    return r if include_deletes else r.filter(F.col("op") != schemas.DELETE_OP)
