@@ -851,6 +851,19 @@ def q_text_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "punct_per_100_chars")
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (arXiv:2112.11446 §A1.1, word
+    level): distinct-word and top-bigram counts per doc. The entry
+    selects the exact long counts — the ratio columns are trivial
+    divisions of them (kept out of the hash to avoid cross-engine
+    float-rounding ties)."""
+    from go_cdc_spark.functions.text import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "n_distinct_words", "top_bigram_n", "n_bigrams"
+    )
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-oracle checked: winnowing is deterministic, and its
     rolling hash never wraps uint64 on ASCII text, so the DuckDB twin
@@ -1114,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split_hash": q_text_split_hash,
         "text_vocab": q_text_vocab,
         "text_filter_corpus": q_text_filter_corpus,
+        "text_repetition": q_text_repetition,
         "dedup_winnow": q_dedup_winnow,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1659,6 +1673,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, punct_per_100_chars FROM s "
             "WHERE n_tokens BETWEEN 40 AND 80 AND punct_per_100_chars <= 25.0 "
             "AND s_zh = 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es"
+        ),
+        # word-level Gopher repetition signals: exact long counts only
+        # (ratio columns stay out of the hash — float-rounding ties)
+        "text_repetition": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), w -> len(w) > 0) AS w FROM documents), "
+            "base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, "
+            "CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words, w FROM t "
+            "WHERE len(w) >= 2), "
+            "b AS (SELECT doc_id, n_words, n_distinct_words, "
+            "unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg "
+            "FROM base), "
+            "c AS (SELECT doc_id, n_words, n_distinct_words, bg, count(*) AS n "
+            "FROM b GROUP BY 1, 2, 3, 4) "
+            "SELECT doc_id, n_words, n_distinct_words, "
+            "CAST(max(n) AS BIGINT) AS top_bigram_n, CAST(sum(n) AS BIGINT) AS n_bigrams "
+            "FROM c GROUP BY doc_id, n_words, n_distinct_words"
         ),
         "text_split_hash": (
             "WITH h AS (SELECT doc_id, ('0x' || substr(sha256("

@@ -234,3 +234,64 @@ def filter_corpus(
         & lang_id(F.col(text_col)).isin(*langs)
     )
     return q.filter(keep)
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 repetition filters, adapted to word level —
+    the corpus has no line structure):
+
+    - ``distinct_word_ratio``: |distinct words| / |words| — row-local
+      array math, zero shuffle.
+    - ``top_bigram_frac``: occurrences of the document's most frequent
+      word bigram / total bigrams — explode + two map-side-combined
+      aggregates keyed by doc, so shuffle volume is O(distinct bigrams
+      per doc), never O(corpus bigrams) in a single reducer; per-doc
+      work is embarrassingly parallel at 100 TB.
+
+    Docs with fewer than two words have no bigram and are dropped
+    (both the Spark plan and the SQL twin agree on this edge). The
+    counts are exact longs (the oracle gate hashes them bit-for-bit);
+    the ratio columns are derived from them at the end."""
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
+        words.alias("_w"),
+    )
+    # bigram i (0-based over the first n-1 words) = words[i+1]·words[i+2]
+    # in element_at's 1-based indexing
+    bigrams = F.transform(
+        F.slice(F.col("_w"), 1, F.greatest(F.size(F.col("_w")) - 1, F.lit(0))),
+        lambda w, i: F.concat(
+            w, F.lit(" "), F.element_at(F.col("_w"), i + F.lit(2))
+        ),
+    )
+    exploded = base.select(
+        id_col, "n_words", "n_distinct_words", F.explode(bigrams).alias("_bg")
+    )
+    per_bigram = exploded.groupBy(
+        id_col, "n_words", "n_distinct_words", "_bg"
+    ).agg(F.count("*").alias("_n"))
+    agg = per_bigram.groupBy(id_col, "n_words", "n_distinct_words").agg(
+        F.max("_n").cast("long").alias("top_bigram_n"),
+        F.sum("_n").cast("long").alias("n_bigrams"),
+    )
+    return agg.select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        "top_bigram_n",
+        "n_bigrams",
+        F.round(F.col("n_distinct_words") / F.col("n_words"), 6).alias(
+            "distinct_word_ratio"
+        ),
+        F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )

@@ -749,3 +749,29 @@ def test_lsh_frac_floor_bits_bounds_tables_and_fraction():
     assert lsh_auto_tables(0.45, bits, 0.92) < 150  # was 295 at 11 bits
     # occupancy still wins at large N (volume stays linear)
     assert max(lsh_auto_bits(10**6, 4), lsh_frac_floor_bits(0.45, 0.92)) == 18
+
+
+def test_repetition_signals_counts(spark):
+    """Hand-checked repetition counts: planted bigram loop vs an
+    all-distinct doc; one-word and empty docs drop (no bigram)."""
+    from go_cdc_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "go stop go stop go"),  # bigrams: g·s ×2, s·g ×2
+            (2, "a b c d"),  # all distinct, every bigram unique
+            (3, "solo"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_distinct_words"]) == (5, 2)
+    assert (r1["top_bigram_n"], r1["n_bigrams"]) == (2, 4)
+    assert r1["top_bigram_frac"] == 0.5
+    r2 = rows[2]
+    assert (r2["n_words"], r2["n_distinct_words"]) == (4, 4)
+    assert (r2["top_bigram_n"], r2["n_bigrams"]) == (1, 3)
+    assert r2["distinct_word_ratio"] == 1.0
