@@ -712,6 +712,43 @@ def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered compaction + value-bounds file skipping (≙ Iceberg
+    rewrite_data_files with a sort order + per-file column bounds):
+    replay the derived log into a MoR table, compact with
+    cluster_by=["value"], then serve a range query through
+    read(prune_ranges=...) — the scan touches only the files whose
+    recorded bounds intersect the range (asserted), and the result
+    must equal the unpruned SQL replay filtered to the same range."""
+    from go_cdc_spark.sinks.lake import prune_files_by_ranges
+    from go_cdc_spark.streaming.replay import replay_chunked
+
+    lo, hi = 100.0, 250.0
+    cfg, lake = _entry_pipeline(
+        spark, sf_dir, "clustered", mode="mor", compact_every=1000
+    )
+    replay_chunked(spark, cfg, chunk_segments=1)
+    assert lake.compact(cluster_by=["value"], cluster_files=4).applied
+    m = lake.manifest()
+    sel = prune_files_by_ranges(
+        m["buckets"], m.get("deltas", {}), m["file_stats"], {"value": (lo, hi)}
+    )
+    kept = sum(len(v) for v in sel.values() if v is not None)
+    total = sum(
+        len(pf) for pf in m["file_stats"][f"data/v{m['version']}"].values()
+    )
+    assert 0 < kept < total, "clustered range scan should skip files"
+    return (
+        lake.read(prune_ranges={"value": (lo, hi)})
+        .filter(F.col("value").between(lo, hi))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
 def q_cdc_stateful_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming materializer (streaming/stateful.py): the
     derived log replayed as 4 file micro-batches through
@@ -1112,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
         "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
         "cdc_stateful_materialize": q_cdc_stateful_materialize,
+        "cdc_clustered_scan": q_cdc_clustered_scan,
         "cdc_changed_since": q_cdc_changed_since,
         "cdc_rebucket": q_cdc_rebucket,
         "cdc_point_lookup": q_cdc_point_lookup,
@@ -1517,6 +1555,15 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
             "SELECT user_id, event_type AS last_event_type, value AS last_value "
             "FROM r WHERE rn = 1 AND op <> 'd'"
+        ),
+        # clustered compact + file-skipping range read: pruning must be
+        # invisible — equal to the plain replay filtered to the range
+        "cdc_clustered_scan": (
+            f"WITH ev AS (SELECT user_id, event_id, event_type, round(value,2) AS value, "
+            f"{_OP_SQL} AS op FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM ev) "
+            "SELECT user_id, event_type AS last_event_type, value AS last_value "
+            "FROM r WHERE rn = 1 AND op <> 'd' AND value BETWEEN 100.0 AND 250.0"
         ),
         # stateful streaming materializer: per-key state-store LWW over
         # 4 micro-batches must equal the single-shot SQL replay

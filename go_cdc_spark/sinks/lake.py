@@ -107,6 +107,50 @@ def prune_by_order_stats(
     return new_pointers, new_deltas
 
 
+def prune_files_by_ranges(
+    pointers: dict[str, str],
+    deltas: dict[str, list[str]],
+    file_stats: dict[str, dict[str, dict[str, dict[str, list]]]],
+    ranges: dict[str, tuple],
+) -> dict[tuple[str, str], list[str] | None]:
+    """File-level value-bounds pruning (≙ Iceberg per-file column
+    bounds, Delta data skipping). For each base (bucket → dir)
+    pointer, return the file basenames whose recorded [min, max] may
+    intersect EVERY requested range, or ``None`` when the whole bucket
+    dir must be read: no stats recorded for it, or the bucket carries
+    deltas — pruning base files under a read-side LWW fold could
+    resurrect a stale delta row whose winning base row was pruned, so
+    delta-carrying buckets are never pruned. A file without a bound
+    for a requested column is kept — conservative, never lossy. A
+    range (lo, hi) has SQL predicate semantics: rows with NULL in the
+    column may be dropped; ``None`` as lo or hi means unbounded."""
+    out: dict[tuple[str, str], list[str] | None] = {}
+    for b, d in pointers.items():
+        if deltas.get(b):
+            out[(d, b)] = None
+            continue
+        stats = file_stats.get(d, {}).get(b)
+        if not stats:
+            out[(d, b)] = None
+            continue
+        keep = []
+        for fname, cols in stats.items():
+            ok = True
+            for c, (lo, hi) in ranges.items():
+                s = cols.get(c)
+                if s is None:
+                    continue
+                if (hi is not None and s[0] > hi) or (
+                    lo is not None and s[1] < lo
+                ):
+                    ok = False
+                    break
+            if ok:
+                keep.append(fname)
+        out[(d, b)] = sorted(keep)
+    return out
+
+
 def internal_schema(
     logical: T.StructType, key_cols: list[str], order_cols: list[str]
 ) -> T.StructType:
@@ -236,10 +280,20 @@ class ParquetLakeTable:
             if pending:
                 stats[f"data/v{m['version']}"] = pending
             self._pending_stats = None
+        pending_fs = getattr(self, "_pending_file_stats", None)
+        fstats = {d: dict(s) for d, s in m.get("file_stats", {}).items()}
+        if pending_fs is not None:
+            if pending_fs:
+                fstats[f"data/v{m['version']}"] = pending_fs
+            self._pending_file_stats = None
         referenced = set(m.get("buckets", {}).values()) | {
             d for ds in m.get("deltas", {}).values() for d in ds
         }
-        m = {**m, "order_stats": {d: s for d, s in stats.items() if d in referenced}}
+        m = {
+            **m,
+            "order_stats": {d: s for d, s in stats.items() if d in referenced},
+            "file_stats": {d: s for d, s in fstats.items() if d in referenced},
+        }
         target = os.path.join(self._commits_dir, f"v{m['version']:012d}.json")
         fd, tmp = tempfile.mkstemp(dir=self._commits_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
@@ -328,6 +382,7 @@ class ParquetLakeTable:
         manifest: dict | None = None,
         internal: bool = False,
         changed_after: tuple[int, int, int] | None = None,
+        prune_ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Read current table state; ``buckets`` prunes to those buckets
         (path-level pruning — the scan never sees other buckets).
@@ -349,7 +404,16 @@ class ParquetLakeTable:
         the cursor), not O(table). NOTE: the pruned result is only a
         valid table state for callers that then filter to rows newer
         than the token — keys whose last change predates it may be
-        missing entirely."""
+        missing entirely.
+
+        ``prune_ranges`` ({col: (lo, hi)}) skips base FILES whose
+        recorded per-file bounds (written by ``compact(cluster_by=
+        ...)``) cannot intersect every range — I/O ∝ matching data on
+        a clustered table. Same caller contract: re-apply the exact
+        predicate on the result (pruning is file-granular), and note
+        a range drops NULL-valued rows like the SQL predicate would.
+        Delta-carrying buckets and files without bounds are read
+        whole — conservative, never lossy."""
         m = manifest or self.manifest()
         logical = T.StructType.fromJson(json.loads(m["schema"]))
         order_cols = m.get("order_cols", schemas.ORDER_COLS)
@@ -365,6 +429,11 @@ class ParquetLakeTable:
             pointers, deltas = prune_by_order_stats(
                 pointers, deltas, m.get("order_stats", {}), changed_after
             )
+        file_sel: dict[tuple[str, str], list[str] | None] = {}
+        if prune_ranges:
+            file_sel = prune_files_by_ranges(
+                pointers, deltas, m.get("file_stats", {}), prune_ranges
+            )
         # group buckets by the version dir holding their data (base
         # pointers and delta pointers alike — one scan per dir)
         by_dir: dict[str, list[str]] = {}
@@ -378,7 +447,16 @@ class ParquetLakeTable:
         parts = []
         for d, bs in sorted(by_dir.items()):
             base = os.path.join(self.root, d)
-            paths = [os.path.join(base, f"bucket={b}") for b in sorted(set(bs), key=int)]
+            paths = []
+            for b in sorted(set(bs), key=int):
+                bdir = os.path.join(base, f"bucket={b}")
+                sel = file_sel.get((d, b))
+                if sel is None:
+                    paths.append(bdir)
+                else:  # file-level prune; [] ⇒ whole bucket skipped
+                    paths.extend(os.path.join(bdir, f) for f in sel)
+            if not paths:
+                continue
             df = self.spark.read.option("basePath", base).parquet(*paths).drop("bucket")
             parts.append(align_to_schema(df, schema))
         if not parts:
@@ -481,16 +559,26 @@ class ParquetLakeTable:
 
     # ---------- write paths ----------
 
-    def _write_version_data(self, df: DataFrame, version: int, n_files_hint: int) -> dict[int, int]:
+    def _write_version_data(
+        self,
+        df: DataFrame,
+        version: int,
+        n_files_hint: int,
+        cluster_by: list[str] | None = None,
+        cluster_files: int = 8,
+    ) -> dict[int, int]:
         """Write df (must carry ``bucket`` col) under data/v{version};
-        returns per-bucket row counts read back from the written files."""
+        returns per-bucket row counts read back from the written files.
+
+        ``cluster_by`` (compaction only) range-clusters each bucket's
+        rows into ~``cluster_files`` files by the given columns (ntile
+        bins over the per-bucket sort the rewrite pays anyway), so the
+        per-file column bounds recorded into the manifest become tight
+        and ``read(prune_ranges=...)`` can skip whole files — the
+        bucket layout (key hash) is untouched, only how a bucket's
+        rows split into files changes, which MERGE never observes."""
         out_dir = os.path.join(self.root, "data", f"v{version}")
         fpb = int(self.manifest().get("files_per_bucket", 1))
-        part_cols = [F.col("bucket")]
-        if fpb > 1:
-            part_cols.append(
-                F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(fpb))
-            )
         # mode=overwrite: a data dir without a manifest is garbage from a
         # crashed attempt — the retry must be able to reclaim it (the
         # manifest rename, not the data write, is the commit point).
@@ -498,13 +586,33 @@ class ParquetLakeTable:
         # visible sort on the partition column, planned write inserts
         # its own full re-sort before the dynamic-partition write
         # (measured 2.5x slower on this path).
-        (
-            df.repartition(max(n_files_hint * fpb, 1), *part_cols)
-            .sortWithinPartitions("bucket")
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        if cluster_by:
+            from pyspark.sql import Window
+
+            bins = max(int(cluster_files), 1)
+            w = Window.partitionBy("bucket").orderBy(
+                *[F.col(c).asc_nulls_first() for c in cluster_by]
+            )
+            # a hash collision of two bins into one task only widens
+            # that file's bounds — pruning stays conservative
+            staged = (
+                df.withColumn("_cbin", F.ntile(bins).over(w))
+                .repartition(max(n_files_hint * bins, 1), "bucket", "_cbin")
+                .drop("_cbin")
+                .sortWithinPartitions("bucket", *cluster_by)
+            )
+        else:
+            part_cols = [F.col("bucket")]
+            if fpb > 1:
+                part_cols.append(
+                    F.pmod(
+                        F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(fpb)
+                    )
+                )
+            staged = df.repartition(
+                max(n_files_hint * fpb, 1), *part_cols
+            ).sortWithinPartitions("bucket")
+        staged.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         # exact per-bucket counts + order-column min/max from parquet
         # footer metadata — driver-side file stats, no Spark job; footers
         # are read by a thread pool (serial footer reads were a
@@ -518,14 +626,18 @@ class ParquetLakeTable:
         import pyarrow.parquet as pq
 
         order0 = self.order_cols[0]
+        stat_cols = [order0] + [c for c in (cluster_by or []) if c != order0]
 
         def footer(w):
             b, path = w
             md = pq.ParquetFile(path).metadata
             names = [md.schema.column(j).name for j in range(md.num_columns)]
-            mn = mx = None
-            if order0 in names:
-                j = names.index(order0)
+            per_col: dict[str, list] = {}
+            for c in stat_cols:
+                if c not in names:
+                    continue
+                j = names.index(c)
+                mn = mx = None
                 for g in range(md.num_row_groups):
                     st = md.row_group(g).column(j).statistics
                     if st is None or not st.has_min_max:
@@ -533,11 +645,16 @@ class ParquetLakeTable:
                         break
                     mn = st.min if mn is None else min(mn, st.min)
                     mx = st.max if mx is None else max(mx, st.max)
-            return b, md.num_rows, mn, mx
+                # manifest bounds must survive a JSON round trip
+                if mn is not None and isinstance(mn, (str, int, float, bool)):
+                    per_col[c] = [mn, mx]
+            return b, os.path.basename(path), md.num_rows, per_col
 
         counts: dict[int, int] = {}
         bounds: dict[int, list] = {}  # bucket -> [min, max] of order0
+        fstats: dict[str, dict[str, dict[str, list]]] = {}
         self._pending_stats = {}
+        self._pending_file_stats = {} if cluster_by else None
         if not os.path.isdir(out_dir):
             return counts
         work = []  # (bucket, file path)
@@ -556,20 +673,29 @@ class ParquetLakeTable:
         with ThreadPoolExecutor(max_workers=min(16, len(work))) as ex:
             rows = list(ex.map(footer, work))
         no_stats = set()
-        for b, n, mn, mx in rows:
+        for b, fname, n, per_col in rows:
             if n:
                 counts[b] = counts.get(b, 0) + n
-            if mn is None:
+            o = per_col.get(order0)
+            if o is None:
                 if n:  # a non-empty file without stats poisons the bucket
                     no_stats.add(b)
-                continue
-            cur = bounds.get(b)
-            bounds[b] = (
-                [mn, mx] if cur is None else [min(cur[0], mn), max(cur[1], mx)]
-            )
+            else:
+                cur = bounds.get(b)
+                bounds[b] = (
+                    list(o)
+                    if cur is None
+                    else [min(cur[0], o[0]), max(cur[1], o[1])]
+                )
+            if cluster_by and n:
+                fstats.setdefault(str(b), {})[fname] = {
+                    c: v for c, v in per_col.items() if c in set(cluster_by)
+                }
         self._pending_stats = {
             str(b): v for b, v in bounds.items() if b not in no_stats
         }
+        if cluster_by:
+            self._pending_file_stats = fstats
         return counts
 
     def vacuum(self, keep_manifests: int = 8) -> list[str]:
@@ -622,7 +748,12 @@ class ParquetLakeTable:
                 shutil.rmtree(vpath, ignore_errors=True)
         return removed
 
-    def compact(self, buckets: list[int] | None = None) -> CommitStats:
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_files: int = 8,
+    ) -> CommitStats:
         """Fold base+deltas of every delta-carrying bucket into a fresh
         base file set (≙ Iceberg ``rewrite_data_files`` / Hudi offline
         compaction). Merge-on-read ingest defers the LWW fold to every
@@ -639,6 +770,15 @@ class ParquetLakeTable:
         Idempotent per table version — the commit's epoch key embeds the
         version it compacted, so a crashed-and-retried pass re-runs
         against the new manifest state harmlessly.
+
+        ``cluster_by`` additionally range-clusters each rewritten
+        bucket into ~``cluster_files`` files by the given column(s)
+        (≙ Iceberg ``rewrite_data_files`` with a sort order) and
+        records per-file column bounds into the manifest, enabling
+        ``read(prune_ranges=...)`` file skipping on those columns.
+        The rewrite's per-bucket shuffle+sort pays for it; the bucket
+        layout (key hash) is unchanged, so MERGE, CDF and time travel
+        are oblivious to it.
         """
         m = self.manifest()
         with_deltas = {int(b) for b in m.get("deltas", {})}
@@ -651,7 +791,10 @@ class ParquetLakeTable:
         folded = self.read(buckets=target, manifest=m, internal=True).withColumn(
             "bucket", bucket_expr(m["key_cols"], m["n_buckets"])
         )
-        counts = self._write_version_data(folded, version, len(target))
+        counts = self._write_version_data(
+            folded, version, len(target), cluster_by=cluster_by,
+            cluster_files=cluster_files,
+        )
         bucket_ptrs = dict(m["buckets"])
         bucket_counts = dict(m["bucket_counts"])
         deltas = {b: list(ds) for b, ds in m.get("deltas", {}).items()}

@@ -770,3 +770,106 @@ def test_lookup_point_read_prunes_buckets(spark, tmpdir_path):
 
     with pytest.raises(ValueError):
         t.lookup([])
+
+
+def test_compact_clustered_preserves_view_and_future_merges(spark, tmpdir_path):
+    """compact(cluster_by=...) is pure layout: logical view, tombstones
+    and later MERGEs are identical; the manifest gains per-file bounds
+    for the cluster column (several files per bucket, each with a
+    [min, max] that JSON round-trips)."""
+    t = ParquetLakeTable.create(
+        spark, tmpdir_path, schemas.TABLE_SCHEMA, K, 2, mode="mor",
+        compact_every=100,
+    )
+    t.apply_batch(
+        _resolved(spark, [_row_t("i", i, (f"r{i}", "p", "c"), f"v{i}") for i in range(64)]),
+        "e1",
+    )
+    t.apply_batch(
+        _resolved(spark, [_row_t("u", 100 + i, (f"r{i}", "p", "c"), f"u{i}") for i in range(8)]
+                  + [_row_t("d", 200, ("r9", "p", "c"))]),
+        "e2",
+    )
+    before = {(r["repo"], r["path"], r["commit"]): r["content"] for r in t.read().collect()}
+    s = t.compact(cluster_by=["ts_t"], cluster_files=4)
+    assert s.applied
+    after = {(r["repo"], r["path"], r["commit"]): r["content"] for r in t.read().collect()}
+    assert after == before
+    assert t.read(internal=True).filter("op = 'd'").count() == 1
+    m = t.manifest()
+    fs = m["file_stats"][f"data/v{m['version']}"]
+    assert set(fs) == set(m["buckets"])  # every bucket got file bounds
+    for per_file in fs.values():
+        assert len(per_file) >= 2  # clustering split the bucket
+        for cols in per_file.values():
+            mn, mx = cols["ts_t"]
+            assert 0 <= mn <= mx <= 200
+    # bucket layout unchanged: a later MERGE lands normally
+    t.apply_batch(
+        _resolved(spark, [_row_t("u", 300, ("r0", "p", "c"), "post")]), "e3"
+    )
+    got = {r["content"] for r in t.read().filter("repo = 'r0'").collect()}
+    assert got == {"post"}
+
+
+def test_read_prune_ranges_matches_filter_and_skips_files(spark, tmpdir_path):
+    """File-level value-bounds pruning: the pruned read equals the
+    unpruned read + exact filter, and provably touches fewer files."""
+    from go_cdc_spark.sinks.lake import prune_files_by_ranges
+
+    t = ParquetLakeTable.create(
+        spark, tmpdir_path, schemas.TABLE_SCHEMA, K, 2, mode="mor",
+        compact_every=100,
+    )
+    t.apply_batch(
+        _resolved(spark, [_row_t("i", i, (f"r{i}", "p", "c"), f"v{i}") for i in range(64)]),
+        "e1",
+    )
+    t.compact(cluster_by=["ts_t"], cluster_files=4)
+    m = t.manifest()
+    lo, hi = 10, 25
+    pruned = t.read(prune_ranges={"ts_t": (lo, hi)}, internal=True).filter(
+        F.col("ts_t").between(lo, hi)
+    )
+    full = t.read(internal=True).filter(F.col("ts_t").between(lo, hi))
+    assert sorted(r["repo"] for r in pruned.collect()) == sorted(
+        r["repo"] for r in full.collect()
+    )
+    sel = prune_files_by_ranges(
+        m["buckets"], m.get("deltas", {}), m["file_stats"], {"ts_t": (lo, hi)}
+    )
+    n_kept = sum(len(v) for v in sel.values() if v is not None)
+    n_total = sum(len(pf) for pf in m["file_stats"][f"data/v{m['version']}"].values())
+    assert all(v is not None for v in sel.values())
+    assert 0 < n_kept < n_total  # actually skipped files
+    # unbounded side + half-open ranges stay correct
+    open_pruned = t.read(prune_ranges={"ts_t": (40, None)}, internal=True).filter(
+        "ts_t >= 40"
+    )
+    assert open_pruned.count() == t.read(internal=True).filter("ts_t >= 40").count()
+
+
+def test_prune_files_by_ranges_conservative():
+    """Delta-carrying buckets, missing stats, and missing column bounds
+    are never pruned; disjoint bounds are."""
+    from go_cdc_spark.sinks.lake import prune_files_by_ranges
+
+    pointers = {"0": "data/v3", "1": "data/v3", "2": "data/v2"}
+    deltas = {"1": ["data/v4"]}
+    file_stats = {
+        "data/v3": {
+            "0": {
+                "a.parquet": {"x": [0, 9]},
+                "b.parquet": {"x": [10, 19]},
+                "c.parquet": {},  # no bound for x -> kept
+            },
+            "1": {"a.parquet": {"x": [0, 9]}},
+        }
+    }
+    sel = prune_files_by_ranges(pointers, deltas, file_stats, {"x": (12, 15)})
+    assert sel[("data/v3", "0")] == ["b.parquet", "c.parquet"]
+    assert sel[("data/v3", "1")] is None  # has deltas: never pruned
+    assert sel[("data/v2", "2")] is None  # no stats recorded: whole dir
+    # unbounded sides
+    sel2 = prune_files_by_ranges({"0": "data/v3"}, {}, file_stats, {"x": (None, 5)})
+    assert sel2[("data/v3", "0")] == ["a.parquet", "c.parquet"]
