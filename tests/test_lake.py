@@ -873,3 +873,32 @@ def test_prune_files_by_ranges_conservative():
     # unbounded sides
     sel2 = prune_files_by_ranges({"0": "data/v3"}, {}, file_stats, {"x": (None, 5)})
     assert sel2[("data/v3", "0")] == ["a.parquet", "c.parquet"]
+
+
+def test_compact_clustered_string_key_ntile_fallback(spark, tmpdir_path):
+    """Non-numeric cluster key takes the ntile-window path; view is
+    preserved and string bounds land in the manifest."""
+    t = ParquetLakeTable.create(
+        spark, tmpdir_path, schemas.TABLE_SCHEMA, K, 2, mode="mor",
+        compact_every=100,
+    )
+    t.apply_batch(
+        _resolved(spark, [_row("i", i, (f"r{i}", "p", "c"), f"v{i:03d}") for i in range(40)]),
+        "e1",
+    )
+    before = {(r["repo"], r["path"], r["commit"]): r["content"] for r in t.read().collect()}
+    assert t.compact(cluster_by=["content"], cluster_files=4).applied
+    after = {(r["repo"], r["path"], r["commit"]): r["content"] for r in t.read().collect()}
+    assert after == before
+    m = t.manifest()
+    fs = m["file_stats"][f"data/v{m['version']}"]
+    str_bounds = [
+        cols["content"]
+        for per_file in fs.values()
+        for cols in per_file.values()
+        if "content" in cols
+    ]
+    assert str_bounds and all(isinstance(b[0], str) for b in str_bounds)
+    pruned = t.read(prune_ranges={"content": ("v000", "v009")}).count()
+    full = t.read().filter("content between 'v000' and 'v009'").count()
+    assert pruned >= full  # file-granular superset
