@@ -762,28 +762,12 @@ def q_cdc_stateful_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    from go_cdc_spark.config import PipelineConfig
     from go_cdc_spark.streaming.stateful import (
         materialize_stream,
         materialized_state,
     )
 
-    ev = _events(spark, sf_dir)
-    log = _derived_log(ev)
-    max_id = ev.agg(F.max("event_id")).collect()[0][0]
-    log = log.withColumn("segment", (F.col("seq") * 4 / (max_id + 1)).cast("long"))
-    d = tempfile.mkdtemp(prefix="go_cdc_statemat_")
-    log.repartition("segment").write.partitionBy("segment").mode(
-        "overwrite"
-    ).parquet(os.path.join(d, "log"))
-    cfg = PipelineConfig(
-        pipeline_id="entry-statemat",
-        source_log_path=os.path.join(d, "log"),
-        table_root=os.path.join(d, "table"),
-        bookmark_root=os.path.join(d, "bm"),
-        key_cols=["user_id"],
-        order_cols=["ts_t", "ts_i", "seq"],
-    )
+    cfg, _lake = _entry_pipeline(spark, sf_dir, "statemat")
     schema = T.StructType(
         [
             T.StructField("op", T.StringType()),

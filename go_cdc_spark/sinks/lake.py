@@ -601,6 +601,9 @@ class ParquetLakeTable:
                 # a 10 GB bucket clusters with full parallelism. NULLs
                 # land in bin 0; duplicate quantiles merely collapse
                 # bins (wider files — pruning stays conservative).
+                # persist: df is compaction's base+delta LWW fold — the
+                # quantile job and the write job must not both pay it
+                df = df.persist()
                 qs = [i / bins for i in range(1, bins)]
                 b_bounds = df.groupBy("bucket").agg(
                     F.percentile_approx(c0, qs, 10_000).alias("_qs")
@@ -642,7 +645,11 @@ class ParquetLakeTable:
             staged = df.repartition(
                 max(n_files_hint * fpb, 1), *part_cols
             ).sortWithinPartitions("bucket")
-        staged.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
+        try:
+            staged.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
+        finally:
+            if cluster_by:
+                df.unpersist()
         # exact per-bucket counts + order-column min/max from parquet
         # footer metadata — driver-side file stats, no Spark job; footers
         # are read by a thread pool (serial footer reads were a

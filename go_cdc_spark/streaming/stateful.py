@@ -66,11 +66,30 @@ def materialize_stream(
     returns the StreamingQuery. Deletes are emitted with op='d' so a
     downstream serving layer can evict; :func:`materialized_state`
     folds the emission history back to a point-in-time table.
+
+    Sink caveat: ``format("memory")`` holds the full emission history
+    on the driver — right for bounded availableNow runs and tests; an
+    always-on production deployment (``available_now=False``) should
+    swap the writer for a durable sink (foreachBatch upsert, Kafka,
+    the lake) — only the STATE STORE is O(live keys), the memory sink
+    is O(emissions). The checkpoint is keyed by (pipeline_id,
+    out_table): re-running with the same pair resumes the source and
+    skips already-committed files (sound only while the same
+    session's memory table survives); a fresh ``out_table`` gets a
+    fresh checkpoint and replays from the start.
     """
     from go_cdc_spark.streaming.monitor import _read_source
 
     schema = stream_schema or cfg.source_schema() or schemas.EVENT_SCHEMA
     key_f, order_f, payload_f = _split_schema(schema, cfg)
+    for f in order_f:
+        if not isinstance(
+            f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise ValueError(
+                f"order column {f.name!r} must be an integer type for the "
+                f"state tuple compare, got {f.dataType.simpleString()}"
+            )
     key_cols = [f.name for f in key_f]
     order_cols = [f.name for f in order_f]
     payload_cols = [f.name for f in payload_f]
@@ -89,6 +108,10 @@ def materialize_stream(
     def update(key, pdfs, state):
         cur = tuple(state.get) if state.exists else None
         for pdf in pdfs:
+            # a NULL order value cannot participate in the tuple
+            # compare — drop the row, mirroring the batch path's
+            # SQL ordering tolerance rather than killing the stream
+            pdf = pdf.dropna(subset=order_cols)
             if len(pdf) == 0:
                 continue
             # Only the batch's LWW winner can change state: argmax by
@@ -103,6 +126,8 @@ def materialize_stream(
                     for c in payload_cols
                 ]
                 cur = cand + (str(top["op"]),) + tuple(payload)
+        if cur is None:  # every row had a NULL order value
+            return
         state.update(cur)
         yield pd.DataFrame([tuple(key) + cur], columns=out_cols)
 
@@ -121,7 +146,8 @@ def materialize_stream(
         .queryName(out_table)
         .option(
             "checkpointLocation",
-            f"{cfg.bookmark_root}/{cfg.pipeline_id}/_materialize_checkpoint",
+            f"{cfg.bookmark_root}/{cfg.pipeline_id}/"
+            f"_materialize_checkpoint/{out_table}",
         )
     )
     if available_now:

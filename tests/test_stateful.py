@@ -75,3 +75,42 @@ def test_stateful_tombstone_blocks_stale_update(spark, tmpdir_path):
     assert by_key[("r2", "p2", "c2")].content == "w1"
     live = materialized_state(spark, "statemat_t2", cfg, ["lang", "content"])
     assert live.count() == 1  # the deleted key is gone from serving state
+
+
+def test_stateful_null_order_rows_dropped_not_fatal(spark, tmpdir_path):
+    """A NULL order value can't join the tuple compare: the row drops
+    (matching batch SQL-ordering tolerance) instead of killing the
+    stream; non-integer order schemas are rejected up front."""
+    from pyspark.sql import types as T
+
+    import pytest
+
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in schemas.EVENT_SCHEMA.fields]
+    )
+    cfg = _cfg(tmpdir_path, pipeline_id="statemat-null")
+    rows = [
+        ("i", 1, 0, 1, "r1", "p1", "c1", "py", "good"),
+        ("u", None, 0, 9, "r1", "p1", "c1", "py", "bad"),  # null ts_t
+        ("u", None, 0, 9, "r9", "p9", "c9", "py", "only-null"),
+    ]
+    spark.createDataFrame(rows, nullable).coalesce(1).write.parquet(
+        os.path.join(cfg.source_log_path, "segment=0")
+    )
+    q = materialize_stream(spark, cfg, "statemat_t3", stream_schema=nullable)
+    q.awaitTermination()
+    live = materialized_state(spark, "statemat_t3", cfg, ["lang", "content"])
+    got = {(r["repo"], r["content"]) for r in live.collect()}
+    assert got == {("r1", "good")}  # null-order rows contributed nothing
+    # non-integer order type rejected before the stream starts
+    bad = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_t", T.TimestampType()),
+            T.StructField("ts_i", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+        + [T.StructField(c, T.StringType()) for c in schemas.KEY_COLS]
+    )
+    with pytest.raises(ValueError, match="integer type"):
+        materialize_stream(spark, cfg, "statemat_t4", stream_schema=bad)
