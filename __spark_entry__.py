@@ -885,6 +885,49 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-reweighting downsample: cap en at 25% and zh at 50%,
+    keep the rest — per-key sha256 threshold compare (integer math,
+    zero shuffle, decisions stable under corpus growth), reproduced
+    bit-for-bit by the DuckDB twin via the split_hash chain."""
+    from go_cdc_spark.functions.text import sample_stratified
+
+    return sample_stratified(
+        _docs(spark, sf_dir), strata_col="lang", rates={"en": 0.25, "zh": 0.5}
+    ).select("doc_id", "lang")
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-appendix-C test-set decontamination: docs with
+    doc_id % 29 == 0 stand in for the benchmark suite; every other doc
+    is flagged if it shares any 8-word n-gram with the benchmark. The
+    benchmark gram set is broadcast (benchmark suites are MB-scale);
+    the training side is one scan + broadcast semi-join + map-side
+    count — O(corpus) work, O(matched docs) shuffle."""
+    from go_cdc_spark.functions.text import decontaminate
+
+    d = _docs(spark, sf_dir)
+    return decontaminate(
+        d.filter(F.col("doc_id") % 29 != 0), d.filter(F.col("doc_id") % 29 == 0), n=8
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch ingest dedup: docs with doc_id % 3 == 0 play the
+    already-ingested corpus (fingerprint index only — the index side
+    never rescans text); the rest arrive as the new batch and are
+    admitted iff their fingerprint is new to both the index and the
+    batch (min-id wins in-batch). One anti-join + one min-aggregate."""
+    from go_cdc_spark.functions.dedup import incremental_dedup
+    from go_cdc_spark.functions.text import fingerprint
+
+    d = _docs(spark, sf_dir)
+    index = d.filter(F.col("doc_id") % 3 == 0).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    return incremental_dedup(d.filter(F.col("doc_id") % 3 != 0), index)
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-oracle checked: winnowing is deterministic, and its
     rolling hash never wraps uint64 on ASCII text, so the DuckDB twin
@@ -1150,6 +1193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "text_filter_corpus": q_text_filter_corpus,
         "text_repetition": q_text_repetition,
+        "text_sample_stratified": q_text_sample_stratified,
+        "text_decontaminate": q_text_decontaminate,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_winnow": q_dedup_winnow,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1721,6 +1767,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_words, n_distinct_words, "
             "CAST(max(n) AS BIGINT) AS top_bigram_n, CAST(sum(n) AS BIGINT) AS n_bigrams "
             "FROM c GROUP BY doc_id, n_words, n_distinct_words"
+        ),
+        "text_sample_stratified": (
+            "WITH h AS (SELECT doc_id, lang, ('0x' || substr(sha256("
+            "CAST(doc_id AS VARCHAR) || ':sample'), 1, 15))::BIGINT AS hv FROM documents) "
+            f"SELECT doc_id, lang FROM h WHERE hv < CASE lang "
+            f"WHEN 'en' THEN {int(0.25 * (1 << 60))} "
+            f"WHEN 'zh' THEN {int(0.5 * (1 << 60))} ELSE {1 << 60} END"
+        ),
+        "text_decontaminate": (
+            "WITH words AS (SELECT doc_id, "
+            "list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws FROM documents), "
+            "grams AS (SELECT doc_id, CASE WHEN len(ws) >= 8 THEN "
+            "list_distinct(list_transform(generate_series(1, len(ws) - 7), "
+            "i -> list_aggr(ws[i:i+7], 'string_agg', ' '))) "
+            "ELSE []::VARCHAR[] END AS gs FROM words), "
+            "bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 29 = 0), "
+            "train AS (SELECT doc_id, gs FROM grams WHERE doc_id % 29 <> 0), "
+            "matched AS (SELECT e.doc_id, count(*) AS n_matched FROM "
+            "(SELECT doc_id, unnest(gs) AS g FROM train) e JOIN bench USING (g) GROUP BY 1) "
+            "SELECT t.doc_id, CAST(len(t.gs) AS BIGINT) AS n_grams, "
+            "CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched, "
+            "coalesce(m.n_matched, 0) > 0 AS contaminated "
+            "FROM train t LEFT JOIN matched m ON t.doc_id = m.doc_id"
+        ),
+        "dedup_incremental": (
+            "WITH fps AS (SELECT doc_id, "
+            "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents), "
+            "idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 = 0), "
+            "fresh AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 <> 0 "
+            "AND fp NOT IN (SELECT fp FROM idx)) "
+            "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp FROM fresh GROUP BY fp"
         ),
         "text_split_hash": (
             "WITH h AS (SELECT doc_id, ('0x' || substr(sha256("

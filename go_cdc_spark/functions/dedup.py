@@ -48,6 +48,34 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, on=id_col, how="semi")
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming-ingest exact dedup: admit only the newly-arrived docs
+    whose content fingerprint is neither already in the corpus
+    ``index`` (a DataFrame with an ``fp`` column — e.g. the fingerprint
+    projection of the lake table, bucketed by ``fp`` at scale) nor
+    claimed by an earlier doc in the same batch (min-``id_col`` wins,
+    matching exact_duplicates' canonical-representative rule).
+
+    This is the dedup gate a CDC-fed corpus runs per micro-batch: the
+    index side never rescans the corpus text — fingerprints only — and
+    the plan is one anti-join on ``fp`` (sort-merge co-partitioned, or
+    storage-bucketed to kill the shuffle entirely) plus one map-side-
+    combined min-aggregate over the batch. Returns (id_col, fp)."""
+    fresh = new_docs.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    ).join(index.select("fp").distinct(), "fp", "anti")
+    return (
+        fresh.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fp")
+    )
+
+
 # ---------------- token-set Jaccard ----------------
 
 

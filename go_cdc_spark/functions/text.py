@@ -174,17 +174,7 @@ def split_by_hash(
     does). Changing ``salt`` resamples the split; rows never migrate
     between train and val/test under corpus growth (per-key hash, not
     position). Pure Column expressions, zero Python, zero shuffles."""
-    h = F.conv(
-        F.substring(
-            F.sha2(
-                F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)), 256
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = _h60(F.col(id_col), salt)
     t_train = int(train * (1 << 60))
     t_val = int((train + val) * (1 << 60))
     split = (
@@ -193,6 +183,102 @@ def split_by_hash(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def _h60(key: Column, salt: str) -> Column:
+    """sha256(key:salt) → 60-bit integer — the shared deterministic
+    sampling hash (pure integer compares downstream, no floats, so any
+    sha256-capable engine reproduces decisions bit-for-bit)."""
+    return F.conv(
+        F.substring(
+            F.sha2(F.concat_ws(":", key.cast("string"), F.lit(salt)), 256), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the mixture-reweighting
+    stage of a pretraining pipeline (cap overrepresented languages /
+    sources at a target rate). A row is kept iff
+    ``sha256(id:salt) < rate(stratum) * 2^60`` — a pure integer
+    threshold compare, so the decision is per-key stable (rows never
+    flip under corpus growth or repartitioning, unlike
+    ``df.sample``'s partition-seeded Bernoulli), reproducible across
+    engines, and a zero-shuffle codegen'd scan predicate at any scale.
+    Changing ``salt`` resamples; ``rates`` maps stratum value → keep
+    rate, everything else keeps at ``default_rate``."""
+    thresh = None
+    for value, rate in sorted((rates or {}).items()):
+        cond, lit = F.col(strata_col) == value, F.lit(int(rate * (1 << 60)))
+        thresh = F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
+    default = F.lit(int(default_rate * (1 << 60)))
+    thresh = default if thresh is None else thresh.otherwise(default)
+    return df.filter(_h60(F.col(id_col), salt) < thresh)
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word-level n-grams of ``text`` as an array<string> —
+    row-local array math (split → slide → join), zero shuffle. Words
+    are lowercased and split on single spaces (the corpus convention
+    shared with repetition_signals and the SQL twins). Docs with fewer
+    than ``n`` words yield an empty array."""
+    ws = F.filter(F.split(F.lower(text), " "), lambda w: F.length(w) > 0)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    # sequence(1, k) with k < 1 counts DOWN — guard short docs first
+    return F.when(
+        F.size(ws) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Test-set decontamination by word n-gram collision (the GPT-3
+    appendix-C / PaLM protocol: a training doc is contaminated if it
+    shares any length-``n`` word n-gram with any benchmark doc).
+    Returns every training doc with its distinct-gram count, how many
+    of those grams appear in the benchmark set, and the contamination
+    flag — callers drop or audit the flagged rows.
+
+    Scale shape: benchmark suites are MB-scale, so the distinct
+    benchmark gram set is broadcast — the training side is ONE scan
+    (row-local n-gram arrays, explode_outer so zero-gram docs keep a
+    row), a broadcast left hash join that flags matches, and one
+    map-side-combined per-doc count: shuffle volume is O(doc_ids),
+    never O(corpus grams), and the corpus is never read twice. No
+    Python anywhere."""
+    grams = _word_ngrams(F.col(text_col), n)
+    bench = (
+        benchmark.select(F.explode(_word_ngrams(F.col(text_col), n)).alias("_bg"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    exploded = df.select(F.col(id_col), F.explode_outer(grams).alias("_bg"))
+    return (
+        exploded.join(F.broadcast(bench), "_bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_bg").cast("long").alias("n_grams"),
+            F.count("_hit").cast("long").alias("n_matched"),
+        )
+        .withColumn("contaminated", F.col("n_matched") > 0)
+    )
 
 
 def vocab_top_k(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:

@@ -775,3 +775,80 @@ def test_repetition_signals_counts(spark):
     assert (r2["n_words"], r2["n_distinct_words"]) == (4, 4)
     assert (r2["top_bigram_n"], r2["n_bigrams"]) == (1, 3)
     assert r2["distinct_word_ratio"] == 1.0
+
+
+def test_sample_stratified_deterministic_per_stratum(spark):
+    """Per-stratum keep rates honored (±tolerance), decisions per-key
+    stable under corpus growth and repartitioning, default stratum
+    keeps everything, salt resamples."""
+    from go_cdc_spark.functions.text import sample_stratified
+
+    rows = [(i, ["en", "zh", "de"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {"en": 0.3, "zh": 0.6}
+    kept = {r["doc_id"]: r["lang"]
+            for r in sample_stratified(df, rates=rates).collect()}
+    by_lang = {
+        lang: sum(1 for v in kept.values() if v == lang) / 1000
+        for lang in ("en", "zh", "de")
+    }
+    assert abs(by_lang["en"] - 0.3) < 0.06
+    assert abs(by_lang["zh"] - 0.6) < 0.06
+    assert by_lang["de"] == 1.0  # default_rate keeps the whole stratum
+    # growth/partitioning stability: subset decisions identical
+    sub = {r["doc_id"] for r in
+           sample_stratified(df.filter("doc_id < 500").repartition(13),
+                             rates=rates).collect()}
+    assert sub == {k for k in kept if k < 500}
+    # salt resamples
+    alt = {r["doc_id"] for r in
+           sample_stratified(df, rates=rates, salt="other").collect()}
+    assert alt != set(kept)
+
+
+def test_decontaminate_flags_ngram_collisions(spark):
+    """A training doc sharing an 8-word window with the benchmark is
+    flagged; gram counts are exact; short docs (<8 words) have zero
+    grams and pass clean."""
+    from go_cdc_spark.functions.text import decontaminate
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    bench = spark.createDataFrame([(100, leak)], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [
+            # contains words 2..9 of the benchmark doc as a window
+            (1, "prefix quick brown fox jumps over the lazy dog suffix"),
+            (2, "a completely different document about spark engines ok yes"),
+            (3, "too short to gram"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, bench, n=8).collect()}
+    assert out[1]["contaminated"] and out[1]["n_matched"] == 1
+    # 10 words -> 3 distinct 8-grams
+    assert out[1]["n_grams"] == 3
+    assert not out[2]["contaminated"] and out[2]["n_matched"] == 0
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+
+
+def test_incremental_dedup_anti_join_and_in_batch(spark):
+    """New docs already fingerprinted in the index are rejected;
+    in-batch duplicates collapse to the min id; genuinely new content
+    is admitted."""
+    from go_cdc_spark.functions.dedup import incremental_dedup
+    from go_cdc_spark.functions.text import fingerprint as fp
+
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], ["doc_id", "text"]
+    ).select(fp(F.col("text")).alias("fp"))
+    batch = spark.createDataFrame(
+        [
+            (10, "seen  BEFORE "),  # whitespace/case-normalized dup of index
+            (11, "brand new doc"),
+            (12, "brand new doc"),  # in-batch dup, higher id loses
+            (13, "another new one"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"] for r in incremental_dedup(batch, corpus).collect()}
+    assert got == {11, 13}
