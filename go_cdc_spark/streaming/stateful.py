@@ -58,6 +58,7 @@ def materialize_stream(
     stream_schema: T.StructType | None = None,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    tombstone_ttl_ms: int | None = None,
 ):
     """Start a stateful materializer over the oplog segment directory.
 
@@ -77,8 +78,33 @@ def materialize_stream(
     skips already-committed files (sound only while the same
     session's memory table survives); a fresh ``out_table`` gets a
     fresh checkpoint and replays from the start.
+
+    ``tombstone_ttl_ms`` bounds state held for DELETED keys: a
+    tombstone that receives no further events for the TTL is evicted
+    from the state store (processing-time timeout). Without it,
+    every key ever deleted holds state forever — unbounded at
+    10^10-key scale. The trade-off is explicit and standard (Flink
+    state TTL): the TTL must exceed the source's maximum
+    out-of-orderness, because after eviction a re-delivered STALE
+    update for that key would re-materialize it (the tombstone
+    shield is gone). Live keys never time out — they ARE the table.
+
+    TTL requires ``available_now=False``: a processing-time timeout
+    makes Trigger.AvailableNow schedule empty batches forever — the
+    engine can never prove no timer will fire later, so the query
+    never reaches its done condition (measured here: the run-once
+    materializer wedged at batch 1000+ on three files). That is no
+    loss: TTL eviction only matters on an always-on stream; a bounded
+    run's state dies with the run.
     """
     from go_cdc_spark.streaming.monitor import _read_source
+
+    if tombstone_ttl_ms is not None and available_now:
+        raise ValueError(
+            "tombstone_ttl_ms requires available_now=False: processing-time "
+            "timeouts keep an AvailableNow query scheduling empty batches "
+            "forever (no terminal 'no future timers' proof exists)"
+        )
 
     schema = stream_schema or cfg.source_schema() or schemas.EVENT_SCHEMA
     key_f, order_f, payload_f = _split_schema(schema, cfg)
@@ -106,6 +132,11 @@ def materialize_stream(
     out_cols = key_cols + order_cols + ["op"] + payload_cols
 
     def update(key, pdfs, state):
+        if tombstone_ttl_ms is not None and state.hasTimedOut:
+            # quiet tombstone past its TTL: evict, emit nothing — the
+            # delete was already emitted when it won the key
+            state.remove()
+            return
         cur = tuple(state.get) if state.exists else None
         for pdf in pdfs:
             # a NULL order value cannot participate in the tuple
@@ -129,6 +160,8 @@ def materialize_stream(
         if cur is None:  # every row had a NULL order value
             return
         state.update(cur)
+        if tombstone_ttl_ms is not None and cur[n_order] == schemas.DELETE_OP:
+            state.setTimeoutDuration(tombstone_ttl_ms)
         yield pd.DataFrame([tuple(key) + cur], columns=out_cols)
 
     reader = _read_source(
@@ -137,8 +170,13 @@ def materialize_stream(
         ),
         cfg,
     )
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if tombstone_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     emitted = reader.groupBy(*key_cols).applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        update, out_schema, state_schema, "update", timeout_conf
     )
     writer = (
         emitted.writeStream.outputMode("update")

@@ -8,6 +8,8 @@ import glob
 import os
 import time
 
+import pytest
+
 from go_cdc_spark import schemas
 from go_cdc_spark.config import PipelineConfig
 from go_cdc_spark.genlog import LogSpec, write_segments
@@ -114,3 +116,76 @@ def test_stateful_null_order_rows_dropped_not_fatal(spark, tmpdir_path):
     )
     with pytest.raises(ValueError, match="integer type"):
         materialize_stream(spark, cfg, "statemat_t4", stream_schema=bad)
+
+
+def _write_ttl_segments(spark, log):
+    """Three paced segments: tombstone k1, unrelated k2 (the batch
+    whose processing fires k1's expired timer), then a STALE k1 update
+    re-delivered after eviction."""
+    segs = [
+        [("i", 1, 0, 1, "k1", "p", "c", "py", "v1"),
+         ("d", 10, 0, 10, "k1", "p", "c", None, None)],
+        [("i", 3, 0, 3, "k2", "p", "c", "py", "w1")],
+        [("u", 5, 0, 5, "k1", "p", "c", "py", "stale")],
+    ]
+    now = time.time()
+    for i, rows in enumerate(segs):
+        d = os.path.join(log, f"segment={i}")
+        spark.createDataFrame(rows, schemas.EVENT_SCHEMA).coalesce(1).write.parquet(d)
+        for f in glob.glob(os.path.join(d, "*")):
+            os.utime(f, (now + 60 * i, now + 60 * i))
+
+
+def test_tombstone_ttl_evicts_state_and_drops_shield(spark, tmpdir_path):
+    """With tombstone_ttl_ms (always-on trigger — TTL + AvailableNow is
+    rejected, see below), a quiet tombstone is evicted from the state
+    store, so the documented trade-off bites: a stale update
+    re-delivered AFTER eviction re-materializes the key. The no-TTL
+    default keeps the shield forever (same log, stale row dropped)."""
+    from pyspark.sql import functions as F
+
+    cfg = _cfg(os.path.join(tmpdir_path, "ttl"), pipeline_id="statemat-ttl")
+    _write_ttl_segments(spark, cfg.source_log_path)
+    q = materialize_stream(
+        spark, cfg, "statemat_ttl_on", tombstone_ttl_ms=1, available_now=False
+    )
+    stale = (F.col("repo") == "k1") & (F.col("op") == "u") & (F.col("seq") == 5)
+
+    def _stale_rows():
+        try:  # the memory sink registers the table at its first commit
+            return spark.table("statemat_ttl_on").filter(stale).count()
+        except Exception:
+            return -1
+
+    try:
+        deadline = time.time() + 420
+        while time.time() < deadline and _stale_rows() != 1:
+            time.sleep(3)
+        # eviction happened: the stale update re-materialized the key
+        assert _stale_rows() == 1
+    finally:
+        q.stop()
+
+    # TTL off (bounded AvailableNow run): tombstone shield holds and the
+    # stale update is never emitted
+    cfg2 = _cfg(os.path.join(tmpdir_path, "nottl"), pipeline_id="statemat-nottl")
+    _write_ttl_segments(spark, cfg2.source_log_path)
+    q2 = materialize_stream(spark, cfg2, "statemat_ttl_off")
+    q2.awaitTermination()
+    em = spark.table("statemat_ttl_off")
+    # the stale update is never emitted (it loses to the tombstone,
+    # which is re-emitted as the key's winner when the stale row
+    # touches it — update-mode semantics), and the fold ends deleted
+    assert em.filter(stale).count() == 0
+    live = materialized_state(spark, "statemat_ttl_off", cfg2, ["lang", "content"])
+    assert live.filter(F.col("repo") == "k1").count() == 0
+    assert live.filter(F.col("repo") == "k2").count() == 1
+
+
+def test_tombstone_ttl_rejects_available_now(spark, tmpdir_path):
+    """ProcessingTimeTimeout + Trigger.AvailableNow never terminates
+    (the engine cannot prove no future timer will fire) — the
+    combination must fail fast instead of wedging the caller."""
+    cfg = _cfg(tmpdir_path, pipeline_id="statemat-ttl-an")
+    with pytest.raises(ValueError, match="available_now=False"):
+        materialize_stream(spark, cfg, "statemat_t5", tombstone_ttl_ms=1000)
