@@ -298,10 +298,20 @@ class ParquetLakeTable:
         fd, tmp = tempfile.mkstemp(dir=self._commits_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(m, fh)
-        if os.path.exists(target):  # concurrent writer lost the race
+        # Atomic create-if-absent IS the optimistic-concurrency check
+        # (≙ Iceberg's atomic metadata swap): link() fails if another
+        # writer committed this version first, with no window in which
+        # a rename could silently overwrite the winner's manifest.
+        try:
+            os.link(tmp, target)  # atomic commit point
+        except FileExistsError:
+            raise RuntimeError(
+                f"commit conflict at version {m['version']}: a concurrent "
+                "writer committed first; reload the table and retry on top "
+                "of the new latest version"
+            ) from None
+        finally:
             os.unlink(tmp)
-            raise RuntimeError(f"commit conflict at version {m['version']}")
-        os.rename(tmp, target)  # atomic commit point
 
     # ---------- properties ----------
 

@@ -902,3 +902,25 @@ def test_compact_clustered_string_key_ntile_fallback(spark, tmpdir_path):
     pruned = t.read(prune_ranges={"content": ("v000", "v009")}).count()
     full = t.read().filter("content between 'v000' and 'v009'").count()
     assert pruned >= full  # file-granular superset
+
+
+def test_concurrent_commit_conflict_never_overwrites_winner(spark, tmpdir_path):
+    """Two writers racing to commit the same next version: the loser
+    must fail loudly and the winner's manifest must survive intact —
+    the commit point is an atomic create-if-absent, with no window in
+    which the loser can silently replace the winner's manifest."""
+    import pytest
+
+    t1 = _table(spark, tmpdir_path)
+    t2 = ParquetLakeTable.load(spark, tmpdir_path)
+    base = t1.manifest()
+    # writer 1 wins version base+1
+    t1._write_manifest({**base, "version": base["version"] + 1,
+                        "epochs": base["epochs"] + ["w1"]})
+    # writer 2, computed against the same base, must conflict — not
+    # overwrite
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        t2._write_manifest({**base, "version": base["version"] + 1,
+                            "epochs": base["epochs"] + ["w2"]})
+    assert t1.manifest()["epochs"][-1] == "w1"  # winner intact
+    assert t1.latest_version() == base["version"] + 1
