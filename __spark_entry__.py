@@ -734,8 +734,9 @@ def q_cdc_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["buckets"], m.get("deltas", {}), m["file_stats"], {"value": (lo, hi)}
     )
     kept = sum(len(v) for v in sel.values() if v is not None)
+    # the compaction data dir is uuid-named — read it off a pointer
     total = sum(
-        len(pf) for pf in m["file_stats"][f"data/v{m['version']}"].values()
+        len(m["file_stats"][d].get(b, {})) for b, d in m["buckets"].items()
     )
     assert 0 < kept < total, "clustered range scan should skip files"
     return (

@@ -11,8 +11,9 @@ sink-agnostic.
 Layout::
 
     root/
-      _commits/v{N:012d}.json       -- manifest (atomic rename = commit)
-      data/v{N}/bucket={b}/*.parquet
+      _commits/v{N:012d}.json       -- manifest (atomic link = commit)
+      data/v{N}/bucket={b}/*.parquet       -- ingest/rebucket writes
+      data/v{N}-c{uuid}/bucket={b}/*.parquet  -- compaction rewrites
 
 Two write modes (``create(..., mode=)``): copy-on-write rewrites the
 buckets an epoch touches; merge-on-read appends the epoch's reduced
@@ -52,6 +53,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -275,17 +277,16 @@ class ParquetLakeTable:
         # drop stats for dirs no surviving pointer references — the stats
         # map stays O(live dirs), not O(history).
         pending = getattr(self, "_pending_stats", None)
+        pending_dir = (
+            getattr(self, "_pending_stats_dir", None) or f"data/v{m['version']}"
+        )
         stats = {d: dict(s) for d, s in m.get("order_stats", {}).items()}
-        if pending is not None:
-            if pending:
-                stats[f"data/v{m['version']}"] = pending
-            self._pending_stats = None
+        if pending:
+            stats[pending_dir] = pending
         pending_fs = getattr(self, "_pending_file_stats", None)
         fstats = {d: dict(s) for d, s in m.get("file_stats", {}).items()}
-        if pending_fs is not None:
-            if pending_fs:
-                fstats[f"data/v{m['version']}"] = pending_fs
-            self._pending_file_stats = None
+        if pending_fs:
+            fstats[pending_dir] = pending_fs
         referenced = set(m.get("buckets", {}).values()) | {
             d for ds in m.get("deltas", {}).values() for d in ds
         }
@@ -305,6 +306,8 @@ class ParquetLakeTable:
         try:
             os.link(tmp, target)  # atomic commit point
         except FileExistsError:
+            # pending stats are NOT cleared: a conflict-rebase retry
+            # (compact) re-attaches them to the same data dir
             raise RuntimeError(
                 f"commit conflict at version {m['version']}: a concurrent "
                 "writer committed first; reload the table and retry on top "
@@ -312,6 +315,9 @@ class ParquetLakeTable:
             ) from None
         finally:
             os.unlink(tmp)
+        self._pending_stats = None
+        self._pending_file_stats = None
+        self._pending_stats_dir = None
 
     # ---------- properties ----------
 
@@ -576,9 +582,13 @@ class ParquetLakeTable:
         n_files_hint: int,
         cluster_by: list[str] | None = None,
         cluster_files: int = 8,
+        rel_dir: str | None = None,
     ) -> dict[int, int]:
-        """Write df (must carry ``bucket`` col) under data/v{version};
-        returns per-bucket row counts read back from the written files.
+        """Write df (must carry ``bucket`` col) under ``rel_dir``
+        (default data/v{version} — compaction passes a unique name so a
+        concurrent ingest writer racing to the same next version can
+        never overwrite its files); returns per-bucket row counts read
+        back from the written files.
 
         ``cluster_by`` (compaction only) range-clusters each bucket's
         rows into ~``cluster_files`` files by the given columns (ntile
@@ -587,7 +597,8 @@ class ParquetLakeTable:
         and ``read(prune_ranges=...)`` can skip whole files — the
         bucket layout (key hash) is untouched, only how a bucket's
         rows split into files changes, which MERGE never observes."""
-        out_dir = os.path.join(self.root, "data", f"v{version}")
+        rel = rel_dir or f"data/v{version}"
+        out_dir = os.path.join(self.root, *rel.split("/"))
         fpb = int(self.manifest().get("files_per_bucket", 1))
         # mode=overwrite: a data dir without a manifest is garbage from a
         # crashed attempt — the retry must be able to reclaim it (the
@@ -702,6 +713,7 @@ class ParquetLakeTable:
         fstats: dict[str, dict[str, dict[str, list]]] = {}
         self._pending_stats = {}
         self._pending_file_stats = {} if cluster_by else None
+        self._pending_stats_dir = rel
         if not os.path.isdir(out_dir):
             return counts
         work = []  # (bucket, file path)
@@ -838,38 +850,75 @@ class ParquetLakeTable:
         folded = self.read(buckets=target, manifest=m, internal=True).withColumn(
             "bucket", bucket_expr(m["key_cols"], m["n_buckets"])
         )
+        # unique dir: an ingest writer racing to the same next version
+        # writes data/v{version} — it must never clobber the fold (a
+        # crashed attempt leaves an orphan uuid dir; vacuum reclaims it)
+        data_dir = f"data/v{version}-c{uuid.uuid4().hex[:8]}"
         counts = self._write_version_data(
             folded, version, len(target), cluster_by=cluster_by,
-            cluster_files=cluster_files,
+            cluster_files=cluster_files, rel_dir=data_dir,
         )
-        bucket_ptrs = dict(m["buckets"])
-        bucket_counts = dict(m["bucket_counts"])
-        deltas = {b: list(ds) for b, ds in m.get("deltas", {}).items()}
-        delta_counts = dict(m.get("delta_counts", {}))
-        for b in target:
-            bs = str(b)
-            deltas.pop(bs, None)
-            delta_counts.pop(bs, None)
-            if b in counts:
-                bucket_ptrs[bs] = f"data/v{version}"
-                bucket_counts[bs] = counts[b]
-            else:  # bucket folded to nothing (shouldn't happen: tombstones kept)
-                bucket_ptrs.pop(bs, None)
-                bucket_counts.pop(bs, None)
-        self._write_manifest(
-            {
-                **m,
-                "version": version,
+        def _manifest_on(base: dict, v: int) -> dict:
+            bucket_ptrs = dict(base["buckets"])
+            bucket_counts = dict(base["bucket_counts"])
+            deltas = {b: list(ds) for b, ds in base.get("deltas", {}).items()}
+            delta_counts = dict(base.get("delta_counts", {}))
+            for b in target:
+                bs = str(b)
+                deltas.pop(bs, None)
+                delta_counts.pop(bs, None)
+                if b in counts:
+                    bucket_ptrs[bs] = data_dir
+                    bucket_counts[bs] = counts[b]
+                else:  # folded to nothing (shouldn't happen: tombstones kept)
+                    bucket_ptrs.pop(bs, None)
+                    bucket_counts.pop(bs, None)
+            return {
+                **base,
+                "version": v,
                 "epoch_key": epoch_key,
                 "buckets": bucket_ptrs,
                 "bucket_counts": bucket_counts,
                 "deltas": deltas,
                 "delta_counts": delta_counts,
-                **self._epochs_after_commit(m, epoch_key, version),
+                **self._epochs_after_commit(base, epoch_key, v),
             }
-        )
-        return CommitStats(
-            version, epoch_key, True, target, counts, sum(counts.values())
+
+        # Optimistic commit with Iceberg-style validate-and-rebase:
+        # ingest commits landing while the fold ran only conflict on the
+        # VERSION NUMBER if they touched other buckets — validate that
+        # every compacted bucket's base pointer and delta chain are
+        # exactly as the fold read them, then re-commit the same data
+        # dir on top of the new latest manifest (schema/pointer changes
+        # elsewhere carry over from it). If an interleaved commit DID
+        # touch a target bucket, the fold is stale: fail loudly, the
+        # caller re-runs compact() against current state.
+        base, v = m, version
+        for _ in range(8):
+            try:
+                self._write_manifest(_manifest_on(base, v))
+                return CommitStats(
+                    v, epoch_key, True, target, counts, sum(counts.values())
+                )
+            except RuntimeError as e:
+                if "commit conflict" not in str(e):
+                    raise
+                latest = self.manifest()
+                for b in target:
+                    bs = str(b)
+                    if latest["buckets"].get(bs) != m["buckets"].get(bs) or (
+                        latest.get("deltas", {}).get(bs, [])
+                        != m.get("deltas", {}).get(bs, [])
+                    ):
+                        raise RuntimeError(
+                            f"compaction of bucket {b} invalidated by a "
+                            "concurrent commit; re-run compact() against "
+                            "the current table state"
+                        ) from None
+                base, v = latest, latest["version"] + 1
+        raise RuntimeError(
+            "compaction could not commit after 8 rebase attempts "
+            "(continuous concurrent commits); re-run compact()"
         )
 
     def lookup(self, key_values: list[tuple]) -> DataFrame:

@@ -262,8 +262,11 @@ def test_compact_folds_all_deltas(spark, tmpdir_path):
     assert after == before
     # tombstone survived the fold (still shields late older events)
     assert t.read(internal=True).filter("op = 'd'").count() == 1
-    # all delta-carrying buckets now point at the new base version
-    assert all(m["buckets"][str(b)] == f"data/v{m['version']}" for b in s.affected_buckets)
+    # all delta-carrying buckets now point at the one new (uuid-named)
+    # compaction dir for this version
+    compact_dirs = {m["buckets"][str(b)] for b in s.affected_buckets}
+    assert len(compact_dirs) == 1
+    assert compact_dirs.pop().startswith(f"data/v{m['version']}-c")
     # idempotent: second pass with nothing to fold is a no-op commit
     s2 = t.compact()
     assert not s2.applied and t.manifest()["version"] == m["version"]
@@ -797,7 +800,7 @@ def test_compact_clustered_preserves_view_and_future_merges(spark, tmpdir_path):
     assert after == before
     assert t.read(internal=True).filter("op = 'd'").count() == 1
     m = t.manifest()
-    fs = m["file_stats"][f"data/v{m['version']}"]
+    fs = m["file_stats"][m["buckets"]["0"]]  # compact dir is uuid-named
     assert set(fs) == set(m["buckets"])  # every bucket got file bounds
     for per_file in fs.values():
         assert len(per_file) >= 2  # clustering split the bucket
@@ -839,7 +842,7 @@ def test_read_prune_ranges_matches_filter_and_skips_files(spark, tmpdir_path):
         m["buckets"], m.get("deltas", {}), m["file_stats"], {"ts_t": (lo, hi)}
     )
     n_kept = sum(len(v) for v in sel.values() if v is not None)
-    n_total = sum(len(pf) for pf in m["file_stats"][f"data/v{m['version']}"].values())
+    n_total = sum(len(pf) for pf in m["file_stats"][m["buckets"]["0"]].values())
     assert all(v is not None for v in sel.values())
     assert 0 < n_kept < n_total  # actually skipped files
     # unbounded side + half-open ranges stay correct
@@ -891,7 +894,7 @@ def test_compact_clustered_string_key_ntile_fallback(spark, tmpdir_path):
     after = {(r["repo"], r["path"], r["commit"]): r["content"] for r in t.read().collect()}
     assert after == before
     m = t.manifest()
-    fs = m["file_stats"][f"data/v{m['version']}"]
+    fs = m["file_stats"][m["buckets"]["0"]]  # compact dir is uuid-named
     str_bounds = [
         cols["content"]
         for per_file in fs.values()
@@ -924,3 +927,87 @@ def test_concurrent_commit_conflict_never_overwrites_winner(spark, tmpdir_path):
                             "epochs": base["epochs"] + ["w2"]})
     assert t1.manifest()["epochs"][-1] == "w1"  # winner intact
     assert t1.latest_version() == base["version"] + 1
+
+
+def _bucket_of(spark, key, n_buckets):
+    from go_cdc_spark.sinks.lake import bucket_expr
+
+    df = spark.createDataFrame([key], "repo string, path string, commit string")
+    return df.select(bucket_expr(K, n_buckets).alias("b")).collect()[0]["b"]
+
+
+def test_compact_rebases_over_concurrent_commit_to_other_bucket(
+    spark, tmpdir_path
+):
+    """An ingest commit landing between compact's fold and its manifest
+    write only collides on the version number when it touched OTHER
+    buckets: compact must validate its target buckets are untouched and
+    re-commit the already-written fold on top of the new latest
+    manifest — neither commit lost, no refold."""
+    t = ParquetLakeTable.create(
+        spark, tmpdir_path, schemas.TABLE_SCHEMA, K, 8, mode="mor",
+        compact_every=100,
+    )
+    keys = [(f"r{i}", "p", "c") for i in range(10)]
+    ka = keys[0]
+    kb = next(
+        k for k in keys[1:] if _bucket_of(spark, k, 8) != _bucket_of(spark, ka, 8)
+    )
+    t.apply_batch(_resolved(spark, [_row("i", 1, ka, "a1")]), "e1")
+
+    t2 = ParquetLakeTable.load(spark, tmpdir_path)
+    real = t._write_manifest
+    fired = []
+
+    def race_once(m):
+        if not fired:  # inject a concurrent ingest before compact's commit
+            fired.append(1)
+            t2.apply_batch(_resolved(spark, [_row("i", 2, kb, "b1")]), "e2")
+        return real(m)
+
+    t._write_manifest = race_once
+    try:
+        s = t.compact()
+    finally:
+        t._write_manifest = real
+    assert s.applied and fired
+    out = {r["repo"]: r["content"] for r in t.read().collect()}
+    assert out == {ka[0]: "a1", kb[0]: "b1"}  # neither commit lost
+    m = t.manifest()
+    assert str(_bucket_of(spark, ka, 8)) in m["buckets"]  # fold committed
+    assert set(m["epochs"]) >= {"e1", "e2"}
+
+
+def test_compact_fails_loudly_when_target_bucket_changed(spark, tmpdir_path):
+    """A concurrent commit that touched a COMPACTED bucket makes the
+    fold stale — compact must refuse the rebase, and a re-run against
+    current state must succeed and include the interleaved event."""
+    import pytest
+
+    t = ParquetLakeTable.create(
+        spark, tmpdir_path, schemas.TABLE_SCHEMA, K, 8, mode="mor",
+        compact_every=100,
+    )
+    ka = ("r1", "p", "c")
+    t.apply_batch(_resolved(spark, [_row("i", 1, ka, "a1")]), "e1")
+    t2 = ParquetLakeTable.load(spark, tmpdir_path)
+    real = t._write_manifest
+    fired = []
+
+    def race_once(m):
+        if not fired:  # concurrent update to the SAME key/bucket
+            fired.append(1)
+            t2.apply_batch(_resolved(spark, [_row("u", 2, ka, "a2")]), "e2")
+        return real(m)
+
+    t._write_manifest = race_once
+    try:
+        with pytest.raises(RuntimeError, match="invalidated"):
+            t.compact()
+    finally:
+        t._write_manifest = real
+    # the interleaved ingest won; a fresh compact folds it in
+    s = t.compact()
+    assert s.applied
+    assert {r["content"] for r in t.read().collect()} == {"a2"}
+    assert t.manifest()["deltas"] == {}
