@@ -988,14 +988,23 @@ class ParquetLakeTable:
         folded = self.read(manifest=m, internal=True).withColumn(
             "bucket", bucket_expr(m["key_cols"], new_n_buckets)
         )
-        counts = self._write_version_data(folded, version, new_n_buckets)
+        # unique dir, like compact(): rebucket is a maintenance op that
+        # can race an ingest writer to the same next version — its data
+        # must be unclobberable. Unlike compact there is no rebase (a
+        # layout flip is invalidated by ANY concurrent commit): the
+        # manifest CAS fails loudly and the caller re-runs; the orphan
+        # dir is vacuumed.
+        data_dir = f"data/v{version}-r{uuid.uuid4().hex[:8]}"
+        counts = self._write_version_data(
+            folded, version, new_n_buckets, rel_dir=data_dir
+        )
         self._write_manifest(
             {
                 **m,
                 "version": version,
                 "epoch_key": epoch_key,
                 "n_buckets": new_n_buckets,
-                "buckets": {str(b): f"data/v{version}" for b in counts},
+                "buckets": {str(b): data_dir for b in counts},
                 "bucket_counts": {str(b): n for b, n in counts.items()},
                 "deltas": {},
                 "delta_counts": {},
