@@ -277,13 +277,20 @@ class ParquetLakeTable:
         # drop stats for dirs no surviving pointer references — the stats
         # map stays O(live dirs), not O(history).
         pending = getattr(self, "_pending_stats", None)
+        pending_fs = getattr(self, "_pending_file_stats", None)
         pending_dir = (
             getattr(self, "_pending_stats_dir", None) or f"data/v{m['version']}"
         )
+        # pending stats are consumed unconditionally (success OR
+        # conflict) so a later commit that writes no data can never
+        # attach a stale batch's stats; compact's conflict-rebase
+        # snapshots and restores them around each attempt.
+        self._pending_stats = None
+        self._pending_file_stats = None
+        self._pending_stats_dir = None
         stats = {d: dict(s) for d, s in m.get("order_stats", {}).items()}
         if pending:
             stats[pending_dir] = pending
-        pending_fs = getattr(self, "_pending_file_stats", None)
         fstats = {d: dict(s) for d, s in m.get("file_stats", {}).items()}
         if pending_fs:
             fstats[pending_dir] = pending_fs
@@ -306,8 +313,6 @@ class ParquetLakeTable:
         try:
             os.link(tmp, target)  # atomic commit point
         except FileExistsError:
-            # pending stats are NOT cleared: a conflict-rebase retry
-            # (compact) re-attaches them to the same data dir
             raise RuntimeError(
                 f"commit conflict at version {m['version']}: a concurrent "
                 "writer committed first; reload the table and retry on top "
@@ -315,9 +320,6 @@ class ParquetLakeTable:
             ) from None
         finally:
             os.unlink(tmp)
-        self._pending_stats = None
-        self._pending_file_stats = None
-        self._pending_stats_dir = None
 
     # ---------- properties ----------
 
@@ -893,9 +895,22 @@ class ParquetLakeTable:
         # elsewhere carry over from it). If an interleaved commit DID
         # touch a target bucket, the fold is stale: fail loudly, the
         # caller re-runs compact() against current state.
+        saved = (
+            getattr(self, "_pending_stats", None),
+            getattr(self, "_pending_file_stats", None),
+            getattr(self, "_pending_stats_dir", None),
+        )
         base, v = m, version
         for _ in range(8):
             try:
+                # restore the fold's data-skipping stats for this
+                # attempt (_write_manifest consumes them even on
+                # conflict, and the rebase re-commits the same data)
+                (
+                    self._pending_stats,
+                    self._pending_file_stats,
+                    self._pending_stats_dir,
+                ) = saved
                 self._write_manifest(_manifest_on(base, v))
                 return CommitStats(
                     v, epoch_key, True, target, counts, sum(counts.values())

@@ -1011,3 +1011,27 @@ def test_compact_fails_loudly_when_target_bucket_changed(spark, tmpdir_path):
     assert s.applied
     assert {r["content"] for r in t.read().collect()} == {"a2"}
     assert t.manifest()["deltas"] == {}
+
+
+def test_pending_stats_consumed_on_conflict_never_leak(tmpdir_path):
+    """Pending data-skipping stats are consumed by _write_manifest even
+    when the commit CAS loses: a later commit that writes no data must
+    not attach the failed batch's stats under a stale dir key. (No
+    Spark needed — the manifest layer is pure filesystem.)"""
+    import pytest
+
+    t = ParquetLakeTable(None, tmpdir_path)
+    os.makedirs(t._commits_dir)
+    t._pending_stats = {"0": [1, 2]}
+    t._pending_stats_dir = "data/vSTALE"
+    # a winner already holds version 1
+    with open(os.path.join(t._commits_dir, "v000000000001.json"), "w") as fh:
+        fh.write("{}")
+    losing = {"version": 1, "buckets": {"0": "data/vSTALE"}, "epochs": []}
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        t._write_manifest(losing)
+    assert t._pending_stats is None  # consumed, not leaked
+    # later data-less commit: stale stats must not appear
+    t._write_manifest({"version": 2, "buckets": {"0": "data/vSTALE"}, "epochs": []})
+    m2 = t.manifest_at(2)
+    assert "data/vSTALE" not in m2.get("order_stats", {})
