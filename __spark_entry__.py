@@ -913,6 +913,20 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-level boilerplate detection (CCNet-style shared-text
+    removal): 5-grams appearing in >3 distinct docs are corpus-common;
+    per doc, the exact distinct-gram and common-gram counts (the
+    fraction is their trivial division — kept out of the hash like
+    text_repetition's ratios). One corpus scan, one co-partitioned
+    self-join on gram, shuffles carry (gram, id) pairs only."""
+    from go_cdc_spark.functions.text import boilerplate_score
+
+    return boilerplate_score(_docs(spark, sf_dir), n=5, df_threshold=3).select(
+        "doc_id", "n_grams", "n_common_grams"
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch ingest dedup: docs with doc_id % 3 == 0 play the
     already-ingested corpus (fingerprint index only — the index side
@@ -1196,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_sample_stratified": q_text_sample_stratified,
         "text_decontaminate": q_text_decontaminate,
+        "text_boilerplate": q_text_boilerplate,
         "dedup_incremental": q_dedup_incremental,
         "dedup_winnow": q_dedup_winnow,
         "dedup_exact": q_dedup_exact,
@@ -1791,6 +1806,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched, "
             "coalesce(m.n_matched, 0) > 0 AS contaminated "
             "FROM train t LEFT JOIN matched m ON t.doc_id = m.doc_id"
+        ),
+        "text_boilerplate": (
+            "WITH words AS (SELECT doc_id, "
+            "list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws FROM documents), "
+            "grams AS (SELECT doc_id, CASE WHEN len(ws) >= 5 THEN "
+            "list_distinct(list_transform(generate_series(1, len(ws) - 4), "
+            "i -> list_aggr(ws[i:i+4], 'string_agg', ' '))) "
+            "ELSE []::VARCHAR[] END AS gs FROM words), "
+            "ex AS (SELECT doc_id, unnest(gs) AS g FROM grams), "
+            "common AS (SELECT g FROM ex GROUP BY g HAVING count(*) > 3), "
+            "percd AS (SELECT ex.doc_id, count(*) AS n FROM ex "
+            "JOIN common USING (g) GROUP BY 1) "
+            "SELECT gr.doc_id, CAST(len(gr.gs) AS BIGINT) AS n_grams, "
+            "CAST(coalesce(c.n, 0) AS BIGINT) AS n_common_grams "
+            "FROM grams gr LEFT JOIN percd c ON gr.doc_id = c.doc_id"
         ),
         "dedup_incremental": (
             "WITH fps AS (SELECT doc_id, "

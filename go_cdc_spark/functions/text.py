@@ -281,6 +281,53 @@ def decontaminate(
     )
 
 
+def boilerplate_score(
+    df: DataFrame,
+    n: int = 5,
+    df_threshold: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate detection by n-gram document frequency (the
+    gram-level form of CCNet's shared-paragraph dedup, Wenzek et al.
+    2019): an n-gram appearing in more than ``df_threshold`` distinct
+    documents is boilerplate (headers, footers, license blurbs,
+    navigation chrome); each document gets its distinct-gram count and
+    how many of those grams are corpus-common — filter stages drop or
+    down-weight high-fraction docs.
+
+    Scale shape: one corpus scan (row-local distinct-gram arrays,
+    explode_outer keeps zero-gram docs), one map-side-combined
+    doc-frequency count keyed by gram, one co-partitioned self-join on
+    gram (both sides hash-partitioned by the same key — no broadcast
+    needed, the gram table is corpus-sized), one per-doc count. All
+    shuffles carry (gram, id) pairs, never text. No Python."""
+    grams = _word_ngrams(F.col(text_col), n)
+    exploded = df.select(F.col(id_col), F.explode_outer(grams).alias("_bg"))
+    common = (
+        exploded.filter(F.col("_bg").isNotNull())
+        .groupBy("_bg")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > df_threshold)
+        .select("_bg", F.lit(1).alias("_common"))
+    )
+    return (
+        exploded.join(common, "_bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_bg").cast("long").alias("n_grams"),
+            F.count("_common").cast("long").alias("n_common_grams"),
+        )
+        .withColumn(
+            "boilerplate_frac",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_common_grams") / F.col("n_grams"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def vocab_top_k(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary: the ``k`` most frequent lowercased whitespace
     tokens with deterministic ties (freq DESC, token ASC). The groupBy

@@ -852,3 +852,25 @@ def test_incremental_dedup_anti_join_and_in_batch(spark):
     )
     got = {r["doc_id"] for r in incremental_dedup(batch, corpus).collect()}
     assert got == {11, 13}
+
+
+def test_boilerplate_score_flags_shared_grams(spark):
+    """A phrase planted in 5 docs crosses df_threshold=3 and its grams
+    count as common; unique text does not; short docs get zero grams
+    with frac 0.0."""
+    from go_cdc_spark.functions.text import boilerplate_score
+
+    footer = "subscribe to our newsletter for updates today"  # 7 words
+    rows = [(i, f"unique body {i} alpha beta gamma " + footer) for i in range(5)]
+    rows += [(10, "a completely original document with no shared phrases at all")]
+    rows += [(11, "tiny doc")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in boilerplate_score(df, n=5, df_threshold=3).collect()}
+    assert len(out) == 7
+    # the footer contributes 3 distinct 5-grams present in all 5 docs;
+    # the bridge gram "beta gamma subscribe to our" etc. also repeat
+    for i in range(5):
+        assert out[i]["n_common_grams"] >= 3
+        assert 0 < out[i]["boilerplate_frac"] <= 1.0
+    assert out[10]["n_common_grams"] == 0 and out[10]["boilerplate_frac"] == 0.0
+    assert out[11]["n_grams"] == 0 and out[11]["boilerplate_frac"] == 0.0
