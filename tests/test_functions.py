@@ -874,3 +874,41 @@ def test_boilerplate_score_flags_shared_grams(spark):
         assert 0 < out[i]["boilerplate_frac"] <= 1.0
     assert out[10]["n_common_grams"] == 0 and out[10]["boilerplate_frac"] == 0.0
     assert out[11]["n_grams"] == 0 and out[11]["boilerplate_frac"] == 0.0
+
+
+def test_word_ngrams_matches_python_oracle(spark):
+    """The row-local n-gram expression (split → slide → join, with the
+    short-doc guard) must agree with a plain-Python reference on
+    adversarial strings: repeated/leading/trailing spaces, exactly-n
+    words, n-1 words, unicode, empties."""
+    import random
+
+    from go_cdc_spark.functions.text import _word_ngrams
+
+    rng = random.Random(42)
+    vocab = ["the", "a", "Foo", "BAR", "naïve", "零一二", "x"]
+    rows = [(0, ""), (1, " "), (2, "one two three"), (3, "a b c d"),
+            (4, "  a  b   c d  ")]
+    for i in range(5, 60):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(0, 12))]
+        sep = lambda: " " * rng.randrange(1, 3)  # noqa: E731
+        rows.append((i, sep().join(words) if words else ""))
+
+    def py_ngrams(text, n):
+        ws = [w for w in text.lower().split(" ") if w]
+        if len(ws) < n:
+            return []
+        seen, out = set(), []
+        for j in range(len(ws) - n + 1):
+            g = " ".join(ws[j : j + n])
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    df = spark.createDataFrame(rows, ["i", "t"])
+    for n in (2, 4):
+        got = {r["i"]: r["g"] for r in df.select(
+            "i", _word_ngrams(F.col("t"), n).alias("g")).collect()}
+        for i, t in rows:
+            assert got[i] == py_ngrams(t, n), (n, i, t, got[i])
