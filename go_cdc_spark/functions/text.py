@@ -216,6 +216,12 @@ def sample_stratified(
     engines, and a zero-shuffle codegen'd scan predicate at any scale.
     Changing ``salt`` resamples; ``rates`` maps stratum value → keep
     rate, everything else keeps at ``default_rate``."""
+    for name, rate in {**(rates or {}), "default_rate": default_rate}.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(
+                f"keep rate for {name!r} must be in [0, 1], got {rate} "
+                "(a rate like 25 meaning 25% would silently keep everything)"
+            )
     thresh = None
     for value, rate in sorted((rates or {}).items()):
         cond, lit = F.col(strata_col) == value, F.lit(int(rate * (1 << 60)))

@@ -912,3 +912,13 @@ def test_word_ngrams_matches_python_oracle(spark):
             "i", _word_ngrams(F.col("t"), n).alias("g")).collect()}
         for i, t in rows:
             assert got[i] == py_ngrams(t, n), (n, i, t, got[i])
+
+
+def test_sample_stratified_rejects_out_of_range_rates(spark):
+    from go_cdc_spark.functions.text import sample_stratified
+
+    df = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        sample_stratified(df, rates={"en": 25})
+    with pytest.raises(ValueError, match="default_rate"):
+        sample_stratified(df, default_rate=-0.1)
