@@ -927,6 +927,48 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus dedup (streaming/stateful.py dedup_stream): the
+    documents table replayed as 4 arrival-ordered segment micro-batches;
+    the state store admits exactly one (first-seen) doc per content
+    fingerprint — dedup-on-ingest with O(unique contents) checkpointed
+    state. Oracle: first occurrence per fingerprint by (segment,
+    doc_id) — the micro-batch decomposition must be invisible."""
+    import glob as _glob
+    import tempfile
+    import time as _time
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from go_cdc_spark.streaming.stateful import dedup_stream
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", (F.col("doc_id") % 4).cast("int").alias("seg")
+    )
+    tmp = tempfile.mkdtemp(prefix="go_cdc_dedupstream_")
+    src = os.path.join(tmp, "src")
+    d.repartition("seg").write.partitionBy("seg").parquet(src)
+    now = _time.time()
+    for i in range(4):  # arrival order = segment order
+        for f in _glob.glob(os.path.join(src, f"seg={i}", "*")):
+            os.utime(f, (now + 60 * i, now + 60 * i))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("seg", T.IntegerType()),
+        ]
+    )
+    out = f"dedupstream_{uuid.uuid4().hex[:8]}"
+    q = dedup_stream(
+        spark, src, os.path.join(tmp, "ckpt"), out, schema,
+        order_cols=["seg", "doc_id"],
+    )
+    q.awaitTermination()
+    return spark.table(out).select("doc_id", "fp")
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch ingest dedup: docs with doc_id % 3 == 0 play the
     already-ingested corpus (fingerprint index only — the index side
@@ -1212,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_boilerplate": q_text_boilerplate,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_stream": q_dedup_stream,
         "dedup_winnow": q_dedup_winnow,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1821,6 +1864,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT gr.doc_id, CAST(len(gr.gs) AS BIGINT) AS n_grams, "
             "CAST(coalesce(c.n, 0) AS BIGINT) AS n_common_grams "
             "FROM grams gr LEFT JOIN percd c ON gr.doc_id = c.doc_id"
+        ),
+        "dedup_stream": (
+            "WITH fps AS (SELECT doc_id, doc_id % 4 AS seg, "
+            "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents), "
+            "r AS (SELECT doc_id, fp, row_number() OVER "
+            "(PARTITION BY fp ORDER BY seg, doc_id) AS rn FROM fps) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, fp FROM r WHERE rn = 1"
         ),
         "dedup_incremental": (
             "WITH fps AS (SELECT doc_id, "

@@ -218,3 +218,99 @@ def materialized_state(
         payload_cols,
     )
     return r if include_deletes else r.filter(F.col("op") != schemas.DELETE_OP)
+
+
+def dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_table: str,
+    schema: T.StructType,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order_cols: list[str] | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Exactly-once streaming corpus dedup: as document segments arrive,
+    admit only the first occurrence of each content fingerprint — the
+    dedup-on-ingest gate of a continuously-fed training corpus, the
+    streaming twin of :func:`go_cdc_spark.functions.dedup.
+    incremental_dedup` (whose "index" here IS the state store).
+
+    State is one empty-payload row per DISTINCT fingerprint ever seen
+    (O(unique contents), checkpointed), and
+    each micro-batch emits only its newly-admitted (id, fp) rows. Within
+    a batch, the row minimizing ``order_cols`` (default ``[id_col]``)
+    wins; across batches the first-arriving batch wins and later ones
+    cannot displace it — pass the segment/arrival column in
+    ``order_cols`` so the winner is well-defined even if the source
+    coalesces several segments into one micro-batch.
+
+    Scale shape: one exchange per batch on the fingerprint hash (the
+    same partitioning every batch, so state-store locality holds), the
+    Python worker sees one Arrow batch per NEW fingerprint group, and
+    shuffle rows carry (fp, id, order) — never the text (the
+    fingerprint is computed JVM-side in the scan projection).
+
+    Sink caveat (same as :func:`materialize_stream`): the memory sink
+    does not support checkpoint RECOVERY — restarting over the same
+    checkpoint raises. A production deployment swaps the writer for a
+    durable sink (foreachBatch upsert, Kafka); there the checkpointed
+    fingerprint state makes admission exactly-once across restarts.
+    Admission is deterministic given ``order_cols``, so a fresh-
+    checkpoint rebuild reproduces the same decisions."""
+    from pyspark.sql import functions as F
+
+    from go_cdc_spark.functions.text import fingerprint
+
+    order_cols = list(order_cols or [id_col])
+    by_name = {f.name: f for f in schema.fields}
+    missing = [c for c in {id_col, text_col, *order_cols} if c not in by_name]
+    if missing:
+        raise ValueError(f"stream schema lacks columns {sorted(missing)}")
+
+    out_schema = T.StructType(
+        [by_name[id_col], T.StructField("fp", T.StringType(), True)]
+    )
+    state_schema = T.StructType([T.StructField("admitted", T.ByteType(), True)])
+
+    def admit(key, pdfs, state):
+        if state.exists:  # fingerprint already admitted in a prior batch
+            return
+        best = None
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=order_cols)
+            if len(pdf) == 0:
+                continue
+            top = pdf.sort_values(order_cols, kind="mergesort").iloc[0]
+            cand = tuple(top[c] for c in order_cols)
+            if best is None or cand < best[0]:
+                best = (cand, top[id_col])
+        if best is None:
+            return
+        state.update((1,))
+        doc_id = best[1]
+        doc_id = doc_id.item() if hasattr(doc_id, "item") else doc_id
+        yield pd.DataFrame([(doc_id, key[0])], columns=[id_col, "fp"])
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .select(
+            fingerprint(F.col(text_col)).alias("fp"),
+            F.col(id_col),
+            *[F.col(c) for c in order_cols if c != id_col],
+        )
+    )
+    emitted = src.groupBy("fp").applyInPandasWithState(
+        admit, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return (
+        emitted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -189,3 +189,58 @@ def test_tombstone_ttl_rejects_available_now(spark, tmpdir_path):
     cfg = _cfg(tmpdir_path, pipeline_id="statemat-ttl-an")
     with pytest.raises(ValueError, match="available_now=False"):
         materialize_stream(spark, cfg, "statemat_t5", tombstone_ttl_ms=1000)
+
+
+def test_dedup_stream_first_seen_wins_across_batches(spark, tmpdir_path):
+    """Content duplicated across segments: only the first-arriving
+    batch's min-order row is admitted; within a batch the order-tuple
+    min wins; a resumed run over the same checkpoint re-admits
+    nothing (exactly-once on the fingerprint state)."""
+    from pyspark.sql import functions as F, types as T
+
+    from go_cdc_spark.streaming.stateful import dedup_stream
+
+    src = os.path.join(tmpdir_path, "src")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("seg", T.IntegerType()),
+        ]
+    )
+    segs = [
+        [(7, "alpha beta", 0), (3, "ALPHA  beta", 0), (4, "unique one", 0)],
+        [(1, "alpha beta", 1), (9, "brand new", 1)],  # dup of seg0, lower id
+    ]
+    now = time.time()
+    for i, rows in enumerate(segs):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"seg={i}")
+        )
+        for f in glob.glob(os.path.join(src, f"seg={i}", "*")):
+            os.utime(f, (now + 60 * i, now + 60 * i))
+    q = dedup_stream(
+        spark, src, os.path.join(tmpdir_path, "ck"), "dedupstream_t1", schema,
+        order_cols=["seg", "doc_id"],
+    )
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.table("dedupstream_t1").collect()}
+    # alpha-beta: seg0 wins over seg1's lower id; within seg0, id 3 < 7
+    # (whitespace/case-normalized fingerprints collide)
+    assert got == {3, 4, 9}
+    # source grows a segment with another dup + a fresh doc; a fresh-
+    # checkpoint rebuild is deterministic: old decisions reproduced,
+    # the new dup still loses to seg0, the fresh doc admitted
+    rows2 = [(0, "alpha beta", 2), (12, "fresh content", 2)]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        os.path.join(src, "seg=2")
+    )
+    for f in glob.glob(os.path.join(src, "seg=2", "*")):
+        os.utime(f, (now + 120, now + 120))
+    q2 = dedup_stream(
+        spark, src, os.path.join(tmpdir_path, "ck2"), "dedupstream_t2", schema,
+        order_cols=["seg", "doc_id"],
+    )
+    q2.awaitTermination()
+    got2 = {r["doc_id"] for r in spark.table("dedupstream_t2").collect()}
+    assert got2 == {3, 4, 9, 12}
