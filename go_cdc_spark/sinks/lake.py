@@ -759,7 +759,9 @@ class ParquetLakeTable:
             self._pending_file_stats = fstats
         return counts
 
-    def vacuum(self, keep_manifests: int = 8) -> list[str]:
+    def vacuum(
+        self, keep_manifests: int = 8, orphan_grace_sec: float = 3600.0
+    ) -> list[str]:
         """Reclaim storage no longer referenced by ANY kept manifest
         (≙ Iceberg expire_snapshots): bucket dirs only older, deleted
         manifests point at, and manifests older than the newest
@@ -772,12 +774,32 @@ class ParquetLakeTable:
         manifest set is pruned, and the latest manifest (the only one
         the engine reads) is never touched. Concurrent time-travel
         readers of pruned versions are forfeited, as with Iceberg.
+
+        Two reclaim classes (≙ Iceberg expire_snapshots vs
+        remove_orphan_files): a dir a PRUNED manifest referenced is
+        superseded history — reclaimed immediately; a dir NO manifest
+        ever referenced is either crash garbage or the in-flight write
+        of a concurrent compact()/rebucket() racing this vacuum — it is
+        reclaimed only when older than ``orphan_grace_sec`` (mtime),
+        so maintenance jobs slower than the grace window are the only
+        exposure, exactly Iceberg's ``older_than`` contract.
         """
         import shutil
+        import time as _time
 
+        # referenced-by-anything snapshot BEFORE pruning: distinguishes
+        # superseded history (reclaim now) from never-referenced orphans
+        # (grace-aged) afterwards
+        files = self._epoch_manifest_files()
+        referenced_any: set[tuple[str, str]] = set()
+        for f in files:
+            with open(os.path.join(self._commits_dir, f)) as fh:
+                m = json.load(fh)
+            referenced_any.update((d, b) for b, d in m["buckets"].items())
+            for b, ds in m.get("deltas", {}).items():
+                referenced_any.update((d, b) for d in ds)
         # prune old manifests first: a crash mid-vacuum must never leave
         # a readable manifest pointing at deleted data
-        files = self._epoch_manifest_files()
         for f in files[:-max(keep_manifests, 1)]:
             os.unlink(os.path.join(self._commits_dir, f))
         # referenced = union over ALL surviving manifests, so every
@@ -789,6 +811,7 @@ class ParquetLakeTable:
             referenced.update((d, b) for b, d in m["buckets"].items())
             for b, ds in m.get("deltas", {}).items():
                 referenced.update((d, b) for d in ds)
+        now = _time.time()
         removed: list[str] = []
         data_root = os.path.join(self.root, "data")
         if not os.path.isdir(data_root):
@@ -802,9 +825,19 @@ class ParquetLakeTable:
                 if not bdir.startswith("bucket="):
                     continue
                 b = bdir.split("=", 1)[1]
-                if (rel, b) not in referenced:
-                    shutil.rmtree(os.path.join(vpath, bdir), ignore_errors=True)
-                    removed.append(f"{rel}/{bdir}")
+                if (rel, b) in referenced:
+                    continue
+                if (rel, b) not in referenced_any:
+                    # never referenced: crash garbage OR a concurrent
+                    # maintenance write racing this vacuum — grace-age it
+                    try:
+                        age = now - os.path.getmtime(os.path.join(vpath, bdir))
+                    except OSError:
+                        continue
+                    if age < orphan_grace_sec:
+                        continue
+                shutil.rmtree(os.path.join(vpath, bdir), ignore_errors=True)
+                removed.append(f"{rel}/{bdir}")
             if not any(n.startswith("bucket=") for n in os.listdir(vpath)):
                 shutil.rmtree(vpath, ignore_errors=True)
         return removed

@@ -1035,3 +1035,36 @@ def test_pending_stats_consumed_on_conflict_never_leak(tmpdir_path):
     t._write_manifest({"version": 2, "buckets": {"0": "data/vSTALE"}, "epochs": []})
     m2 = t.manifest_at(2)
     assert "data/vSTALE" not in m2.get("order_stats", {})
+
+
+def test_vacuum_grace_ages_orphans_but_reclaims_superseded_now(
+    spark, tmpdir_path
+):
+    """A dir no manifest ever referenced (crash garbage, or a
+    concurrent compact/rebucket mid-write) survives vacuum inside the
+    grace window and is reclaimed after it; superseded history (dirs a
+    pruned manifest referenced) is reclaimed immediately regardless of
+    age."""
+    import time
+
+    t = _table(spark, tmpdir_path, n_buckets=4)
+    for e in range(4):  # rewrites the same bucket each epoch
+        t.apply_batch(
+            _resolved(spark, [_row("u", e + 1, ("r1", "p", "c"), f"v{e}")]),
+            f"e{e}",
+        )
+    orphan = os.path.join(tmpdir_path, "data", "v9-cdeadbeef", "bucket=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as fh:
+        fh.write("x")
+    removed = t.vacuum(keep_manifests=2)
+    assert removed  # superseded copies went immediately (seconds old)
+    assert all("v9-cdeadbeef" not in r for r in removed)
+    assert os.path.isdir(orphan)  # in-flight-shaped dir survived
+    # past the grace window it is garbage
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    removed2 = t.vacuum(keep_manifests=2, orphan_grace_sec=3600)
+    assert any("v9-cdeadbeef" in r for r in removed2)
+    assert not os.path.isdir(orphan)
+    assert t.read().collect()[0]["content"] == "v3"  # table intact
