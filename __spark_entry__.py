@@ -736,7 +736,10 @@ def q_cdc_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = sum(len(v) for v in sel.values() if v is not None)
     # the compaction data dir is uuid-named — read it off a pointer
     total = sum(
-        len(m["file_stats"][d].get(b, {})) for b, d in m["buckets"].items()
+        # .get(d): a bucket pointer may reference a dir without recorded
+        # file stats (non-compacted / delta-only) — count it as zero
+        len(m["file_stats"].get(d, {}).get(b, {}))
+        for b, d in m["buckets"].items()
     )
     assert 0 < kept < total, "clustered range scan should skip files"
     return (

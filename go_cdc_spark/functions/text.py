@@ -302,14 +302,27 @@ def boilerplate_score(
     how many of those grams are corpus-common — filter stages drop or
     down-weight high-fraction docs.
 
-    Scale shape: one corpus scan (row-local distinct-gram arrays,
-    explode_outer keeps zero-gram docs), one map-side-combined
-    doc-frequency count keyed by gram, one co-partitioned self-join on
-    gram (both sides hash-partitioned by the same key — no broadcast
-    needed, the gram table is corpus-sized), one per-doc count. All
-    shuffles carry (gram, id) pairs, never text. No Python."""
+    Scale shape: ONE corpus scan — the per-doc distinct-gram arrays are
+    materialized once (localCheckpoint, breaking lineage so the
+    doc-frequency aggregate and the join's left side share the same
+    computed blocks instead of each re-running scan + regex + gram
+    build; the materialized form is (id, gram-array), ~corpus text
+    size), then one map-side-combined doc-frequency count keyed by
+    gram, one co-partitioned self-join on gram (both sides
+    hash-partitioned by the same key — no broadcast needed, the gram
+    table is corpus-sized), one per-doc count. All shuffles carry
+    (gram, id) pairs, never text. No Python."""
     grams = _word_ngrams(F.col(text_col), n)
-    exploded = df.select(F.col(id_col), F.explode_outer(grams).alias("_bg"))
+    # eager localCheckpoint = the single corpus scan; without it the
+    # agg subplan (filter+groupBy) and the raw join side differ, so
+    # Spark re-executes the scan + gram explode for each (measured 2×
+    # the dominant stage at sf0.1). On a real cluster swap for
+    # .persist(StorageLevel.MEMORY_AND_DISK) + a downstream unpersist
+    # if executor loss during the job is a concern.
+    doc_grams = df.select(F.col(id_col), grams.alias("_bgs")).localCheckpoint()
+    exploded = doc_grams.select(
+        F.col(id_col), F.explode_outer("_bgs").alias("_bg")
+    )
     common = (
         exploded.filter(F.col("_bg").isNotNull())
         .groupBy("_bg")

@@ -12,8 +12,15 @@ Layout::
 
     root/
       _commits/v{N:012d}.json       -- manifest (atomic link = commit)
-      data/v{N}/bucket={b}/*.parquet       -- ingest/rebucket writes
+      data/v{N}-i{uuid}/bucket={b}/*.parquet  -- ingest writes (apply_batch/overwrite)
       data/v{N}-c{uuid}/bucket={b}/*.parquet  -- compaction rewrites
+      data/v{N}-r{uuid}/bucket={b}/*.parquet  -- rebucket rewrites
+
+Every writer gets a UNIQUE data dir per commit attempt, so optimistic
+writers racing to the same next version can never clobber each other's
+parquet files — the manifest CAS decides the winner and the loser's
+dir is an orphan vacuum() grace-ages away. Pointers in the manifest
+are dir-name agnostic.
 
 Two write modes (``create(..., mode=)``): copy-on-write rewrites the
 buckets an epoch touches; merge-on-read appends the epoch's reduced
@@ -50,6 +57,7 @@ deltas — O(batch) bytes written per epoch, the ingest-throughput mode.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import tempfile
@@ -813,6 +821,20 @@ class ParquetLakeTable:
                 referenced.update((d, b) for d in ds)
         now = _time.time()
         removed: list[str] = []
+        # stale temp files in _commits: a writer crashing between
+        # mkstemp and the finally-unlink leaves a *.tmp/*.etmp behind
+        # forever (nothing else references them). Grace-aged so an
+        # in-flight commit's temp file is never yanked mid-write.
+        for f in os.listdir(self._commits_dir):
+            if not (f.endswith(".tmp") or f.endswith(".etmp")):
+                continue
+            p = os.path.join(self._commits_dir, f)
+            try:
+                if now - os.path.getmtime(p) >= orphan_grace_sec:
+                    os.unlink(p)
+                    removed.append(f"_commits/{f}")
+            except OSError:
+                pass
         data_root = os.path.join(self.root, "data")
         if not os.path.isdir(data_root):
             return removed
@@ -877,7 +899,13 @@ class ParquetLakeTable:
         m = self.manifest()
         with_deltas = {int(b) for b in m.get("deltas", {})}
         target = sorted(with_deltas if buckets is None else with_deltas & set(buckets))
-        epoch_key = f"__compact__v{m['version']}"
+        # epoch key embeds the TARGET BUCKET SET, not just the base
+        # version: two concurrent compacts of disjoint waves started
+        # from the same base must record distinct epoch keys, or the
+        # second's rebased commit would duplicate the first's key and
+        # corrupt the exactly-once audit trail.
+        bset = hashlib.sha256(",".join(map(str, target)).encode()).hexdigest()[:8]
+        epoch_key = f"__compact__v{m['version']}b{bset}"
         if not target or epoch_key in m["epochs"]:
             return CommitStats(m["version"], epoch_key, applied=False)
         version = m["version"] + 1
@@ -952,6 +980,15 @@ class ParquetLakeTable:
                 if "commit conflict" not in str(e):
                     raise
                 latest = self.manifest()
+                if epoch_key in latest["epochs"]:
+                    # another writer already committed this exact wave
+                    # (same base version + bucket set) — rebasing on top
+                    # would record a duplicate epoch key
+                    raise RuntimeError(
+                        f"compaction epoch {epoch_key} already committed "
+                        "by a concurrent writer; re-run compact() against "
+                        "the current table state"
+                    ) from None
                 for b in target:
                     bs = str(b)
                     if latest["buckets"].get(bs) != m["buckets"].get(bs) or (
@@ -1105,14 +1142,23 @@ class ParquetLakeTable:
         data = data.select(*[f.name for f in phys.fields]).withColumn(
             "bucket", bucket_expr(self.key_cols, self.n_buckets)
         )
-        counts = self._write_version_data(data, version, self.n_buckets)
+        # unique dir per attempt: two ingest writers racing to the same
+        # next version must never share a data dir — the CAS loser's
+        # mode('overwrite') would have already clobbered the winner's
+        # committed files before the manifest conflict raised. The
+        # loser's dir becomes an orphan vacuum grace-ages away, and a
+        # reload-and-retry after a commit conflict is safe.
+        data_dir = f"data/v{version}-i{uuid.uuid4().hex[:8]}"
+        counts = self._write_version_data(
+            data, version, self.n_buckets, rel_dir=data_dir
+        )
         self._write_manifest(
             {
                 **m,
                 "version": version,
                 "epoch_key": epoch_key,
                 "schema": schema.json(),
-                "buckets": {str(b): f"data/v{version}" for b in counts},
+                "buckets": {str(b): data_dir for b in counts},
                 "bucket_counts": {str(b): n for b, n in counts.items()},
                 "deltas": {},
                 "delta_counts": {},
@@ -1187,6 +1233,12 @@ class ParquetLakeTable:
                 batch = batch.withColumn(f.name, F.lit(None).cast(f.dataType))
 
         version = m["version"] + 1
+        # unique dir per attempt (same reason as compact/overwrite): an
+        # ingest writer racing another to the same next version must not
+        # share data/v{N} — mode('overwrite') would destroy the CAS
+        # winner's committed files. Losing attempts leave orphan dirs
+        # that vacuum grace-ages; reload-and-retry on conflict is safe.
+        data_dir = f"data/v{version}-i{uuid.uuid4().hex[:8]}"
         buckets = dict(m["buckets"])
         bucket_counts = dict(m["bucket_counts"])
         deltas = {b: list(ds) for b, ds in m.get("deltas", {}).items()}
@@ -1229,13 +1281,15 @@ class ParquetLakeTable:
             for p in pieces[1:]:
                 out = out.unionByName(p)
             out = out.withColumn("bucket", bucket_expr(key_cols, self.n_buckets))
-            counts = self._write_version_data(out, version, len(affected))
+            counts = self._write_version_data(
+                out, version, len(affected), rel_dir=data_dir
+            )
             for b in to_compact:
                 bs = str(b)
                 deltas.pop(bs, None)
                 delta_counts.pop(bs, None)
                 if b in counts:
-                    buckets[bs] = f"data/v{version}"
+                    buckets[bs] = data_dir
                     bucket_counts[bs] = counts[b]
                 else:
                     buckets.pop(bs, None)
@@ -1243,7 +1297,7 @@ class ParquetLakeTable:
             for b in delta_only:
                 if b in counts:
                     bs = str(b)
-                    deltas.setdefault(bs, []).append(f"data/v{version}")
+                    deltas.setdefault(bs, []).append(data_dir)
                     delta_counts[bs] = delta_counts.get(bs, 0) + counts[b]
         else:
             current = self.read(buckets=affected, manifest=m, internal=True)
@@ -1255,10 +1309,12 @@ class ParquetLakeTable:
                 payload,
                 salt_partitions,
             ).withColumn("bucket", bucket_expr(key_cols, self.n_buckets))
-            counts = self._write_version_data(merged, version, len(affected))
+            counts = self._write_version_data(
+                merged, version, len(affected), rel_dir=data_dir
+            )
             for b in affected:
                 if b in counts:
-                    buckets[str(b)] = f"data/v{version}"
+                    buckets[str(b)] = data_dir
                     bucket_counts[str(b)] = counts[b]
                 else:  # bucket fully deleted by this batch
                     buckets.pop(str(b), None)

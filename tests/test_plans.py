@@ -102,6 +102,20 @@ def test_filter_corpus_plan_no_shuffle(spark):
     assert codegen_stage_count(out) >= 1
 
 
+def test_boilerplate_single_corpus_scan(spark):
+    """The doc-frequency aggregate and the join's left side must share
+    ONE materialized gram pass — the final plan reads the checkpointed
+    (id, grams) blocks and never re-scans the parquet source (the
+    round-4 defect was two full scan+regex+explode executions)."""
+    from go_cdc_spark.functions.text import boilerplate_score
+    from go_cdc_spark.plans.inspect import formatted_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = boilerplate_score(docs, n=5, df_threshold=3)
+    plan = formatted_plan(out)
+    assert "Scan parquet" not in plan, plan
+
+
 def test_split_bad_records_good_side_pushdown(spark, tmpdir_path):
     """The quarantine split's good-side predicate must reach the
     parquet scan as a plain In() filter."""
