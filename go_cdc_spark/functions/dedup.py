@@ -897,6 +897,7 @@ def dedup_near(
     id_col: str = "doc_id",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Filter a corpus to its near-duplicate survivors: cluster the
     pair graph with :func:`connected_components` and keep, per cluster,
@@ -904,8 +905,17 @@ def dedup_near(
     The losers set is one anti-join — pairs → clusters → filtered
     corpus is the complete dedup pipeline, and every stage is
     oracle-checked (`dedup_jaccard`, `dedup_components`,
-    `dedup_near_keep` in the driver contract)."""
-    comp = connected_components(pairs, a_col, b_col)
+    `dedup_near_keep` in the driver contract).
+
+    ``components`` lets a caller that already ran (and e.g.
+    checkpointed) the contraction over the SAME pair graph pass it in
+    instead of paying the iterative fold twice — a (doc_id, component)
+    frame as returned by :func:`connected_components`."""
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, a_col, b_col)
+    )
     losers = comp.filter(F.col("doc_id") != F.col("component")).select(
         F.col("doc_id").alias(id_col)
     )
