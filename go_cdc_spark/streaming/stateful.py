@@ -70,10 +70,10 @@ def materialize_stream(
 
     Sink caveat: ``format("memory")`` holds the full emission history
     on the driver — right for bounded availableNow runs and tests; an
-    always-on production deployment (``available_now=False``) should
-    swap the writer for a durable sink (foreachBatch upsert, Kafka,
-    the lake) — only the STATE STORE is O(live keys), the memory sink
-    is O(emissions). The checkpoint is keyed by (pipeline_id,
+    always-on production deployment (``available_now=False``) uses
+    :func:`materialize_stream_to_lake`, the durable foreachBatch →
+    lake-MERGE twin — only the STATE STORE is O(live keys), the memory
+    sink is O(emissions). The checkpoint is keyed by (pipeline_id,
     out_table): re-running with the same pair resumes the source and
     skips already-committed files (sound only while the same
     session's memory table survives); a fresh ``out_table`` gets a
@@ -97,6 +97,41 @@ def materialize_stream(
     loss: TTL eviction only matters on an always-on stream; a bounded
     run's state dies with the run.
     """
+    emitted = _emission_stream(
+        spark, cfg, stream_schema, max_files_per_trigger, tombstone_ttl_ms,
+        available_now,
+    )
+    writer = (
+        emitted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(out_table)
+        .option(
+            "checkpointLocation",
+            f"{cfg.bookmark_root}/{cfg.pipeline_id}/"
+            f"_materialize_checkpoint/{out_table}",
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=cfg.trigger_interval or "1 second")
+    return writer.start()
+
+
+def _emission_stream(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    stream_schema: T.StructType | None,
+    max_files_per_trigger: int,
+    tombstone_ttl_ms: int | None,
+    available_now: bool,
+) -> DataFrame:
+    """The shared stateful core of both materializer sinks: the oplog
+    segment stream grouped by key through ``applyInPandasWithState``,
+    emitting one resolved (key, order, op, payload) row per key each
+    micro-batch touches. Sink-agnostic — :func:`materialize_stream`
+    writes it to a memory table, :func:`materialize_stream_to_lake`
+    MERGEs each batch into the parquet lake."""
     from go_cdc_spark.streaming.monitor import _read_source
 
     if tombstone_ttl_ms is not None and available_now:
@@ -175,17 +210,97 @@ def materialize_stream(
         if tombstone_ttl_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout
     )
-    emitted = reader.groupBy(*key_cols).applyInPandasWithState(
+    return reader.groupBy(*key_cols).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout_conf
     )
+
+
+def materialize_stream_to_lake(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    stream_schema: T.StructType | None = None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    tombstone_ttl_ms: int | None = None,
+    checkpoint_name: str = "lake",
+    _fault_injector=None,
+):
+    """Durable-sink twin of :func:`materialize_stream`: the same
+    stateful LWW resolve, but each micro-batch's emissions MERGE into
+    the :class:`~go_cdc_spark.sinks.lake.ParquetLakeTable` at
+    ``cfg.table_root`` (which must exist — ``ParquetLakeTable.create``
+    it first, exactly like the batch replay path) via ``foreachBatch``.
+    This is the production path for an always-on materializer
+    (``available_now=False``, optionally ``tombstone_ttl_ms``): state
+    is O(live keys) in the checkpointed state store AND the serving
+    table is bounded on disk — no driver-resident emission history.
+
+    Exactly-once across kills/restarts, by composition of two
+    idempotence layers:
+
+    - the streaming checkpoint replays any micro-batch whose offsets
+      committed but whose foreachBatch failed mid-apply (same
+      ``batch_id``, same emitted rows — the stateful operator's state
+      store versions with the batch);
+    - ``apply_batch(epoch_key=f"statemat-{pipeline}-{batch_id}")`` is
+      an idempotent lake MERGE: a replayed batch whose manifest commit
+      already landed is a no-op (epoch-key check), a batch that never
+      committed applies atomically (os.link CAS manifest).
+
+    Emissions already carry op='d' tombstones, so deletes flow through
+    the same MERGE the batch engine uses; ``tombstone_ttl_ms`` only
+    evicts state-store rows and never touches the table.
+
+    ``_fault_injector`` (tests only): callable(batch_id) invoked before
+    each batch's apply — raise from it to simulate a crash between the
+    lake commit and the streaming commit log.
+    """
+    from go_cdc_spark.sinks.lake import ParquetLakeTable
+
+    emitted = _emission_stream(
+        spark, cfg, stream_schema, max_files_per_trigger, tombstone_ttl_ms,
+        available_now,
+    )
+    table_root = cfg.table_root
+    pipeline_id = cfg.pipeline_id
+    order_cols = list(cfg.order_cols)
+    salt = cfg.salt_partitions
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        # persist: apply_batch takes several actions over the batch and
+        # each would otherwise re-execute the stateful operator (the
+        # classic foreachBatch recompute trap — state must advance
+        # exactly once per batch)
+        batch_df.persist()
+        try:
+            # one resolved row per key — already the MERGE input shape
+            lake = ParquetLakeTable.load(batch_df.sparkSession, table_root)
+            stats = lake.apply_batch(
+                batch_df,
+                epoch_key=f"statemat-{pipeline_id}-{batch_id}",
+                order_cols=order_cols,
+                salt_partitions=salt,
+            )
+            if not stats.applied:
+                # replayed batch whose lake commit already landed (we
+                # crashed between the lake commit and the streaming
+                # commit log): the MERGE is a no-op, but the batch must
+                # still be materialized so every state-store partition
+                # re-commits its version — Spark validates this
+                # (STATE_STORE_COMMIT_VALIDATION_FAILED otherwise)
+                batch_df.count()
+            if _fault_injector is not None:
+                _fault_injector(batch_id)
+        finally:
+            batch_df.unpersist()
+
     writer = (
         emitted.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(out_table)
+        .foreachBatch(apply)
         .option(
             "checkpointLocation",
             f"{cfg.bookmark_root}/{cfg.pipeline_id}/"
-            f"_materialize_checkpoint/{out_table}",
+            f"_materialize_checkpoint/{checkpoint_name}",
         )
     )
     if available_now:
