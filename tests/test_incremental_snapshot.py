@@ -165,6 +165,104 @@ def test_kill_mid_snapshot_then_resume(spark, tmpdir_path):
     assert table_fingerprint(lake.read().toPandas()) == _oracle_fp(spark, full_dir)
 
 
+def test_rebucket_between_chunks_is_invisible(spark, tmpdir_path):
+    """A bucket-layout flip landing BETWEEN chunk commits must be
+    invisible to the snapshot: nothing caches the modulus (apply_batch
+    derives bucket_expr from the live manifest per commit, and the
+    chunk plan hashes key columns, not buckets), so chunks committed
+    before the flip are rewritten by rebucket itself and chunks after
+    it route under the new modulus. Final state must still equal the
+    single-shot replay."""
+    cfg, full_dir = _setup(spark, tmpdir_path, seed=41)
+    select = _live_source(spark, cfg, full_dir)
+
+    calls = {"n": 0}
+
+    def flipping_select():
+        calls["n"] += 1
+        # call 1 = plan boundaries, calls 2-5 = chunk selects; flip the
+        # layout after chunks 0-1 committed under the 8-bucket modulus
+        if calls["n"] == 4:
+            ParquetLakeTable.load(spark, cfg.table_root).rebucket(16)
+        return select()
+
+    results = incremental_snapshot_with_tail(
+        spark, cfg, flipping_select, n_chunks=4, tail_epochs_per_chunk=1
+    )
+    assert sum(1 for r in results if r.epoch <= -100) == 4  # all chunks applied
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    m = lake.manifest()
+    assert m["n_buckets"] == 16  # flip survived the remaining chunks
+    assert table_fingerprint(lake.read().toPandas()) == _oracle_fp(spark, full_dir)
+    # post-flip chunk rows routed with the NEW modulus: every live row
+    # is in the bucket the 16-way hash assigns it (lookup depends on it)
+    from go_cdc_spark.sinks.lake import bucket_expr
+
+    some = lake.read().limit(5).collect()
+    keys = [tuple(r[c] for c in cfg.key_cols) for r in some]
+    got = {tuple(r[c] for c in cfg.key_cols) for r in lake.lookup(keys).collect()}
+    assert got == set(keys)
+    internal = lake.read(internal=True).withColumn(
+        "_want", bucket_expr(cfg.key_cols, 16)
+    )
+    assert internal.filter(F.col("bucket") != F.col("_want")).count() == 0
+
+
+def test_rebucket_racing_chunk_commit_conflicts_then_resumes(spark, tmpdir_path):
+    """A rebucket racing a chunk commit to the SAME next version must
+    lose or win loudly, never silently interleave: the chunk commit's
+    manifest CAS fails (uuid data dirs mean the loser clobbers
+    nothing), the snapshot run dies with the conflict error, and a
+    plain re-run resumes — committed chunks skipped, the conflicted
+    chunk re-applied under the new modulus — converging to the
+    single-shot oracle with each chunk epoch recorded exactly once."""
+    import pytest
+
+    cfg, full_dir = _setup(spark, tmpdir_path, seed=43)
+    select = _live_source(spark, cfg, full_dir)
+    victim_key = f"snapchunk-{cfg.pipeline_id}-1"
+
+    real = ParquetLakeTable._write_manifest
+    fired = []
+
+    def race_once(self, m):
+        # inject the layout flip inside chunk 1's CAS window: after its
+        # data dir is written, before its manifest commit
+        if m.get("epoch_key") == victim_key and not fired:
+            fired.append(1)
+            ParquetLakeTable.load(spark, cfg.table_root).rebucket(16)
+        return real(self, m)
+
+    ParquetLakeTable._write_manifest = race_once
+    try:
+        with pytest.raises(RuntimeError, match="commit conflict"):
+            incremental_snapshot_with_tail(
+                spark, cfg, select, n_chunks=4, tail_epochs_per_chunk=1
+            )
+    finally:
+        ParquetLakeTable._write_manifest = real
+    assert fired
+    mid = ParquetLakeTable.load(spark, cfg.table_root).manifest()
+    assert mid["n_buckets"] == 16  # the rebucket won the version
+    assert victim_key not in mid["epochs"]  # the chunk commit lost
+
+    # plain re-run: chunk 0 + committed tail epochs skipped, chunk 1
+    # re-selected and applied under the new modulus, rest completes
+    results = incremental_snapshot_with_tail(
+        spark, cfg, select, n_chunks=4, tail_epochs_per_chunk=1
+    )
+    assert sum(1 for r in results if r.epoch <= -100) == 3  # chunks 1-3
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    assert lake.manifest()["n_buckets"] == 16
+    assert table_fingerprint(lake.read().toPandas()) == _oracle_fp(spark, full_dir)
+    chunk_epochs = [
+        k for k in lake.committed_epochs() if k.startswith("snapchunk-")
+    ]
+    assert sorted(chunk_epochs) == [
+        f"snapchunk-{cfg.pipeline_id}-{i}" for i in range(4)
+    ]
+
+
 def test_watermark_window_drops_in_flight_keys(spark, tmpdir_path):
     """DBLog window rule: a chunk row whose key saw a log event inside
     the (low, high] watermark window must NOT be merged — the log is
