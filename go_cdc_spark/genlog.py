@@ -53,6 +53,18 @@ class LogSpec:
     evolve_from_segment: int | None = None  # segments >= this gain content_sha
     content_pad: int = 64  # min content length (payload size knob)
     base_ts: int = 1_700_000_000
+    # Epoch bucket locality: when set, events are assigned to segments
+    # by their KEY-BUCKET window instead of by time — segment =
+    # round * windows + window, with ``windows = n_segments //
+    # locality_rounds`` and window = the key's lake bucket (same
+    # bucket_expr the sink routes with, over locality_n_buckets)
+    # scaled down. Models a shard-/tenant-ordered feed (per-shard
+    # change streams polled round-robin, key-range backfills): each
+    # poll batch carries a narrow key slice, so a copy-on-write sink
+    # rewrites only that slice's buckets. Order stamps stay global —
+    # LWW resolution is unaffected by the arrival reorder.
+    locality_n_buckets: int | None = None
+    locality_rounds: int = 2  # passes over the bucket space
 
 
 def _h(col, seed: int, k: int):
@@ -138,10 +150,24 @@ def write_segments(spark: SparkSession, spec: LogSpec, out_dir: str) -> int:
     additive schema evolution, north_rule).
     """
     df = events_df(spark, spec)
-    df = df.withColumn(
-        "segment", (F.col("seq") / F.lit(spec.segment_events)).cast("long")
-    )
     n_segments = (spec.n_events + spec.segment_events - 1) // spec.segment_events
+    if spec.locality_n_buckets:
+        # bucket-windowed segments (see LogSpec.locality_n_buckets):
+        # the SAME hash the lake's bucket_expr routes with, so a
+        # segment's keys land in a contiguous slice of lake buckets
+        from go_cdc_spark.sinks.lake import bucket_expr
+
+        rounds = max(spec.locality_rounds, 1)
+        windows = max(n_segments // rounds, 1)
+        b = bucket_expr(list(schemas.KEY_COLS), spec.locality_n_buckets)
+        rnd = F.floor(F.col("seq") * F.lit(rounds) / F.lit(spec.n_events))
+        win = F.floor(b * F.lit(windows) / F.lit(spec.locality_n_buckets))
+        df = df.withColumn("segment", (rnd * windows + win).cast("long"))
+        n_segments = rounds * windows
+    else:
+        df = df.withColumn(
+            "segment", (F.col("seq") / F.lit(spec.segment_events)).cast("long")
+        )
     # several files per segment dir ⇒ the replay scan has enough input
     # splits to saturate wide clusters (a real oplog lands as many
     # small files per poll window anyway)

@@ -290,3 +290,48 @@ def test_csv_source_matches_parquet_replay(spark, tmpdir_path):
     fp_pq = _fingerprint(ParquetLakeTable.load(spark, pq_cfg.table_root))
     fp_csv = _fingerprint(ParquetLakeTable.load(spark, csv_cfg.table_root))
     assert fp_pq == fp_csv == _oracle_fp(spark, pq_cfg.source_log_path)
+
+
+def test_locality_feed_replay_prunes_buckets_and_matches_oracle(spark, tmpdir_path):
+    """Shard-ordered feed (LogSpec.locality_n_buckets): segments carry
+    disjoint key-bucket windows, so each copy-on-write epoch rewrites
+    only its window's buckets — never the whole table — and the arrival
+    reorder is invisible to LWW (final state equals the sequential
+    oracle over the same events)."""
+    from pyspark.sql import functions as F
+
+    from go_cdc_spark.sinks.lake import bucket_expr
+
+    cfg = _cfg(tmpdir_path)
+    spec = LogSpec(
+        n_events=6_000,
+        segment_events=750,  # 8 segments = 2 rounds x 4 windows
+        dup_every=53,
+        seed=29,
+        evolve_from_segment=4,  # round 2 carries content_sha
+        locality_n_buckets=cfg.n_buckets,
+        locality_rounds=2,
+    )
+    write_segments(spark, spec, cfg.source_log_path)
+    # each segment's keys occupy ONE contiguous 2-bucket window, and
+    # round r's segment w covers the same window as round r+1's
+    log = spark.read.option("mergeSchema", "true").parquet(cfg.source_log_path)
+    seg_buckets = {
+        r["segment"]: (r["lo"], r["hi"])
+        for r in log.withColumn("b", bucket_expr(list(cfg.key_cols), cfg.n_buckets))
+        .groupBy("segment")
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .collect()
+    }
+    for seg, (lo, hi) in seg_buckets.items():
+        w = seg % 4
+        assert (lo, hi) == (2 * w, 2 * w + 1), f"segment {seg}: {(lo, hi)}"
+
+    results = run_pipeline(spark, cfg)
+    applied = [r for r in results if r.events]
+    assert len(applied) == 8
+    # the pruning claim: every epoch wrote exactly its 2-bucket window
+    assert all(len(r.bucket_counts) <= 2 for r in applied)
+    lake = ParquetLakeTable.load(spark, cfg.table_root)
+    assert "content_sha" in lake.read().columns  # evolution under reorder
+    assert _fingerprint(lake) == _oracle_fp(spark, cfg.source_log_path)
