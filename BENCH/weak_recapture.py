@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Targeted re-capture of the round-4 slam-weak bench numbers.
+
+BENCH_r04 was recorded in a window that closed mid-run (alloc_gbps_pre
+1.79 -> post 0.07); three queries regressed >2x vs round 3 and were
+adjudicated regime-noise, not plan cost (VERDICT r4 "What's wrong" #2):
+
+    cdc_replay_e2e        20.7 s (r3) -> 50.6 s (r4)
+    dedup_jaccard          4.6 s (r3) -> 10.8 s (r4)
+    sim_near_dup_cosine   0.67 s (r3) ->  3.5 s (r4)
+
+This harness times ONLY those three (plus their regime stamps) so the
+run fits inside a short clean window — the full bench needs ~5 min of
+window, which round 4 proved this host rarely grants. Gate: wait for
+alloc_gbps >= --gate-gbps (decaying to --fallback-gbps after
+--fallback-min, same protocol as gated_bench.py); the capture is
+"clean" per the round-4 brief if alloc_gbps_pre >= 1 and each query
+lands <= 1.5x its r3 value.
+
+Usage:
+    python BENCH/weak_recapture.py --out BENCH/weak_recapture_r05.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+R3 = {"cdc_replay_e2e": 20.733, "dedup_jaccard": 4.631, "sim_near_dup_cosine": 0.671}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gate-gbps", type=float, default=1.0)
+    ap.add_argument("--fallback-gbps", type=float, default=0.5)
+    ap.add_argument("--fallback-min", type=float, default=90)
+    ap.add_argument("--max-min", type=float, default=180)
+    ap.add_argument("--interval-sec", type=float, default=60)
+    ap.add_argument("--out", default="BENCH/weak_recapture_r05.json")
+    ap.add_argument("--no-wait", action="store_true", help="run immediately")
+    args = ap.parse_args()
+
+    import bench
+    from bench import alloc_gbps
+
+    start = time.monotonic()
+    while not args.no_wait:
+        mins = (time.monotonic() - start) / 60
+        gate = args.gate_gbps if mins < args.fallback_min else args.fallback_gbps
+        bw = alloc_gbps()
+        load = os.getloadavg()[0]
+        print(
+            f"{time.strftime('%H:%M:%S')} probe bw={bw:.2f}GB/s load={load:.2f} "
+            f"gate={gate} elapsed={mins:.0f}m",
+            flush=True,
+        )
+        if bw >= gate and load < 2.0:
+            break
+        if mins > args.max_min:
+            print("budget exhausted; capturing at whatever the host gives", flush=True)
+            break
+        time.sleep(args.interval_sec)
+
+    import __spark_entry__ as entry
+
+    pre = alloc_gbps()
+    spark = bench.build_spark(bench.CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(f"{bench.SF_DIR}/events.parquet").count()  # warm
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in ("sim_near_dup_cosine", "dedup_jaccard"):
+        timings[name] = round(bench.time_query(qs[name](spark, bench.SF_DIR)), 3)
+    replay_sec, info = bench.bench_replay(spark, bench.REPLAY_EVENTS, mode="cow")
+    timings["cdc_replay_e2e"] = round(replay_sec, 3)
+    post = alloc_gbps()
+    spark.stop()
+
+    rec = {
+        "capture": "weak_recapture",
+        "sf": bench.SF,
+        "cpus": bench.CPUS,
+        "queries": timings,
+        "r3_reference": R3,
+        "ratio_vs_r3": {k: round(v / R3[k], 2) for k, v in timings.items()},
+        "clean": pre >= 1.0 and all(v <= 1.5 * R3[k] for k, v in timings.items()),
+        "replay_events_per_sec": round(info["replay_events"] / replay_sec, 1),
+        "alloc_gbps_pre": pre,
+        "alloc_gbps_post": post,
+    }
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
