@@ -331,37 +331,52 @@ def main() -> None:
         trials: dict[int, list] = {c: [] for c in levels}
 
         def run_trial(cpus: int) -> None:
-            if args.wait_quiet is not None:
-                waited = 0.0
-                while waited < args.wait_max:
-                    quiet = os.getloadavg()[0] < args.wait_quiet
-                    bw_ok = (
-                        args.min_membw is None
-                        or not quiet  # don't burn memcpy probes while loud
-                        or _membw_gbps() >= args.min_membw
-                    )
-                    if quiet and bw_ok:
-                        break
-                    time.sleep(20)
-                    waited += 20
-            # the 1-min load at launch is the trial's cleanliness
-            # signal (load AFTER is polluted by the trial's own
-            # threads for short trials)
-            load_before = round(os.getloadavg()[0], 1)
-            membw_before = _membw_gbps() if args.min_membw is not None else None
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker-cpus", str(cpus),
-                 "--log-dir", log_dir, "--n-buckets", str(args.n_buckets),
-                 "--mode", args.mode, "--data-dir", d],
-                capture_output=True, text=True, timeout=3600,
-            )
-            line = next(
-                (ln for ln in out.stdout.splitlines() if ln.startswith("WORKER_RESULT ")),
-                None,
-            )
-            if line is None:
+            # A deep co-tenant slam can stall the worker JVM's GC past
+            # py4j's socket timeout and kill the whole campaign on one
+            # dead trial (r05 first attempt died this way at local[1]).
+            # Retry the trial in a fresh JVM instead of aborting; every
+            # attempt re-runs the wait-quiet gate first.
+            line = None
+            for attempt in range(3):
+                if args.wait_quiet is not None:
+                    waited = 0.0
+                    while waited < args.wait_max:
+                        quiet = os.getloadavg()[0] < args.wait_quiet
+                        bw_ok = (
+                            args.min_membw is None
+                            or not quiet  # don't burn memcpy probes while loud
+                            or _membw_gbps() >= args.min_membw
+                        )
+                        if quiet and bw_ok:
+                            break
+                        time.sleep(20)
+                        waited += 20
+                # the 1-min load at launch is the trial's cleanliness
+                # signal (load AFTER is polluted by the trial's own
+                # threads for short trials)
+                load_before = round(os.getloadavg()[0], 1)
+                membw_before = _membw_gbps() if args.min_membw is not None else None
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--worker-cpus", str(cpus),
+                     "--log-dir", log_dir, "--n-buckets", str(args.n_buckets),
+                     "--mode", args.mode, "--data-dir", d],
+                    capture_output=True, text=True, timeout=3600,
+                )
+                line = next(
+                    (ln for ln in out.stdout.splitlines() if ln.startswith("WORKER_RESULT ")),
+                    None,
+                )
+                if line is not None:
+                    break
                 sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
-                raise RuntimeError(f"worker local[{cpus}] failed")
+                sys.stderr.write(
+                    f"\nworker local[{cpus}] died (attempt {attempt + 1}/3); "
+                    "retrying in a fresh JVM\n",
+                )
+                sys.stderr.flush()
+                time.sleep(30)
+            if line is None:
+                raise RuntimeError(f"worker local[{cpus}] failed after 3 attempts")
             r = json.loads(line[len("WORKER_RESULT "):])
             r["load_before"] = load_before
             if membw_before is not None:
