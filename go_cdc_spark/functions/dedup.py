@@ -146,23 +146,51 @@ def _jaccard_dense(
 
     def compute(it):
         c_ids, c_mat, c_sizes = bc.value
+        c_sizes64 = c_sizes.astype(np.float64)
+        # Per-partition scratch reused across Arrow batches: the naive
+        # expression allocates five fresh rows×N temporaries per batch
+        # (incidence matrix, f32 GEMM out, f64 cast, union, rounded
+        # quotient, bool mask) — fresh-page allocation is the slowest
+        # path on a busy host and dominates the all-pairs kernel. The
+        # float64 op order (cast, add, subtract, divide, round) is
+        # unchanged, so the 6-decimal values stay bit-equal to the SQL
+        # oracle. Where union == 0 both docs are empty, so inter == 0
+        # and the skipped divide leaves the exact 0.0 np.where produced.
+        scratch: dict[str, np.ndarray] = {}
+
+        def _buf(name: str, rows: int, cols: int, dtype) -> np.ndarray:
+            b = scratch.get(name)
+            if b is None or b.shape[0] < rows or b.shape[1] != cols:
+                b = np.empty((max(rows, b.shape[0] if b is not None else 0), cols),
+                             dtype=dtype)
+                scratch[name] = b
+            return b[:rows]
+
         for block in it:
             b_ids = block[id_col].to_numpy()
-            m = np.zeros((len(b_ids), c_mat.shape[1]), dtype=np.float32)
+            rows, nc = len(b_ids), c_mat.shape[0]
+            m = _buf("m", rows, c_mat.shape[1], np.float32)
+            m.fill(0.0)
             for r, toks in enumerate(block["_toks"]):
                 for t in toks:
                     m[r, idx[t]] = 1.0
             # GEMM in float32 (counts are exact there); divide in float64
             # so the 6-decimal round matches the SQL oracle bit-for-bit
-            inter = (m @ c_mat.T).astype(np.float64)
-            union = (
-                m.sum(axis=1, dtype=np.float64)[:, None]
-                + c_sizes.astype(np.float64)[None, :]
-                - inter
-            )
-            with np.errstate(divide="ignore", invalid="ignore"):
-                jac = np.round(np.where(union > 0, inter / union, 0.0), 6)
-            ia, ib = np.nonzero(jac >= threshold)
+            inter32 = _buf("inter32", rows, nc, np.float32)
+            np.matmul(m, c_mat.T, out=inter32)
+            inter = _buf("inter", rows, nc, np.float64)
+            np.copyto(inter, inter32)
+            union = _buf("union", rows, nc, np.float64)
+            np.add(m.sum(axis=1, dtype=np.float64)[:, None], c_sizes64[None, :],
+                   out=union)
+            np.subtract(union, inter, out=union)
+            mask = _buf("mask", rows, nc, np.bool_)
+            np.greater(union, 0, out=mask)
+            jac = inter
+            np.divide(inter, union, out=jac, where=mask)
+            np.round(jac, 6, out=jac)
+            np.greater_equal(jac, threshold, out=mask)
+            ia, ib = np.nonzero(mask)
             keep = b_ids[ia] < c_ids[ib]
             yield pd.DataFrame(
                 {

@@ -396,12 +396,37 @@ def near_dup_by_cosine(
 
     def compute(it):
         c_ids, c_mat, c_norms = bc.value
+        # Per-partition scratch reused across Arrow batches: the naive
+        # expression allocates three fresh rows×N float64 temporaries
+        # (GEMM out, norm outer product, quotient) plus a bool mask PER
+        # BATCH — fresh-page allocation is the slowest path on a busy
+        # host, and for exact all-pairs it dominates the kernel. The
+        # in-place ops below keep the float64 op order identical
+        # (matmul, outer multiply, divide) so pair sets and rounded
+        # values stay bit-equal to the blocked path and the SQL oracle.
+        scratch: dict[str, np.ndarray] = {}
+
+        def _buf(name: str, rows: int, cols: int, dtype) -> np.ndarray:
+            b = scratch.get(name)
+            if b is None or b.shape[0] < rows or b.shape[1] != cols:
+                b = np.empty((max(rows, b.shape[0] if b is not None else 0), cols),
+                             dtype=dtype)
+                scratch[name] = b
+            return b[:rows]
+
         for block in it:
             a_ids = block[id_col].to_numpy()
             m = np.vstack(block[vec_col].to_numpy()).astype(np.float64)
             n = np.maximum(np.linalg.norm(m, axis=1), 1e-12)
-            sims = (m @ c_mat.T) / (n[:, None] * c_norms[None, :])
-            ia, ib = np.nonzero(sims >= threshold)
+            rows, nc = len(a_ids), c_mat.shape[0]
+            sims = _buf("sims", rows, nc, np.float64)
+            np.matmul(m, c_mat.T, out=sims)
+            den = _buf("den", rows, nc, np.float64)
+            np.multiply(n[:, None], c_norms[None, :], out=den)
+            np.divide(sims, den, out=sims)
+            mask = _buf("mask", rows, nc, np.bool_)
+            np.greater_equal(sims, threshold, out=mask)
+            ia, ib = np.nonzero(mask)
             keep = a_ids[ia] < c_ids[ib]
             yield pd.DataFrame(
                 {
